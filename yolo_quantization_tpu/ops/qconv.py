@@ -1,0 +1,176 @@
+"""Integer uint8 convolution for TPU: int8 MXU matmuls + zero-point corrections.
+
+Implements the integer-only conv of the reference
+(src/convolutional_layer.c:694-761 forward_convolutional_layer_quant_inputi_outputi)
+as a TPU-native op.  The reference materializes an im2col buffer padded with
+the input zero-point and runs two uint8 GEMMs (src/gemm.c:279-299) — one with
+the weights and one with a zero-point plane — then requantizes through C
+doubles.  Here instead:
+
+- Layouts are TPU-native: NHWC activations, HWIO weights (darknet is NCHW/OIHW).
+- uint8 operands are shifted to int8 by XOR 0x80 (x_i8 = x_u8 - 128) so the
+  MXU's signed int8 path applies; the shift folds into the zero points.
+- The convolution itself is a single lax.conv_general_dilated with
+  preferred_element_type=int32 — XLA tiles it onto the MXU; no im2col buffer.
+- The asymmetric zero-point cross terms of Jacob et al. eq. 7,
+      acc = sum (x - zx)(w - zw[o])
+          = conv(x, w) - zw[o]*patchsum(x) - zx*wsum[o] + K*zx*zw[o],
+  are handled as: input padded with its zero point (matching the reference's
+  im2col padding rule, src/im2col.c:4-24), one cheap 1-output-channel conv for
+  patchsum(x), and the two static terms folded into the int32 bias at
+  conversion time (mirroring src/blas.c:306-334 weights_sum_int folding).
+- Requantization multiplies the int32 accumulator by the per-channel real
+  multiplier M = S1*S2/S3 in float32 on the VPU (see
+  core.quant.requantize_float for the accuracy argument), applies the
+  activation in the quantized domain, adds the output zero point, and clamps
+  to uint8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Activation codes, static ints so they stay compile-time under jit.
+ACT_LINEAR = 0
+ACT_LEAKY = 1   # slope 0.1, reference src/convolutional_layer.c:737
+ACT_RELU = 2
+ACT_RELU6 = 3
+
+ACTIVATION_BY_NAME = {
+    "linear": ACT_LINEAR,
+    "leaky": ACT_LEAKY,
+    "relu": ACT_RELU,
+    "relu6": ACT_RELU6,
+}
+
+
+def u8_to_i8(x_u8: jax.Array) -> jax.Array:
+    """Shift uint8 codes to int8 (x - 128) without leaving the 8-bit domain."""
+    return (x_u8 ^ jnp.uint8(0x80)).astype(jnp.int8)
+
+
+def conv_acc_int32(
+    x_i8: jax.Array,
+    w_i8: jax.Array,
+    x_zp_i32: jax.Array,
+    w_zp_i32: jax.Array,
+    stride: int,
+    pad: int,
+) -> jax.Array:
+    """int32 accumulator of sum (x - zx)(w - zw[o]) over each conv window.
+
+    Args:
+      x_i8: (N, H, W, C) int8 activations (uint8 codes shifted by -128).
+      w_i8: (KH, KW, C, O) int8 weights (uint8 codes shifted by -128).
+      x_zp_i32: scalar int32, input zero point shifted by -128.
+      w_zp_i32: (O,) int32, per-channel weight zero points shifted by -128.
+      stride, pad: conv geometry (darknet-style symmetric padding).
+
+    The two data-independent correction terms (-zx*wsum[o] + K*zx*zw[o]) are
+    NOT applied here — the converter folds them into the int32 bias
+    (infer/convert.py), as the reference folds them into weights_sum_int
+    (src/blas.c:306-311).  Only the data-dependent -zw[o]*patchsum(x) term is
+    computed, via a 1-output-channel ones conv.
+    """
+    if pad:
+        # Pad with the input zero point, not 0: reference src/im2col.c:4-24.
+        x_i8 = jnp.pad(
+            x_i8,
+            ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+            constant_values=x_zp_i32.astype(jnp.int8),
+        )
+    dn = lax.conv_dimension_numbers(x_i8.shape, w_i8.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = lax.conv_general_dilated(
+        x_i8,
+        w_i8,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    # patchsum[n,y,x] = sum of the input window — ones-kernel conv, O=1.
+    ones = jnp.ones(w_i8.shape[:3] + (1,), jnp.int8)
+    patchsum = lax.conv_general_dilated(
+        x_i8,
+        ones,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    return acc - w_zp_i32.reshape(1, 1, 1, -1) * patchsum
+
+
+@partial(jax.jit, static_argnames=("act",))
+def requant_activate(
+    acc: jax.Array,
+    bias_i32: jax.Array,
+    m: jax.Array,
+    out_zp: jax.Array,
+    act: int,
+) -> jax.Array:
+    """Fused epilogue: bias add, per-channel rescale, quantized activation, clamp.
+
+    Matches the reference epilogue (src/convolutional_layer.c:726-750):
+      v = round((acc + bias) * M[o])       # M = S1*S2[o]/S3
+      leaky: v<0 -> round(0.1*v)           # 0.1-slope in the quantized domain
+      relu/relu6: v<=0 -> 0                # upper clamp comes from uint8 saturation
+      out = clamp(v + zp_out, 0, 255)
+    """
+    v = jnp.round((acc + bias_i32.reshape(1, 1, 1, -1)).astype(jnp.float32) * m.reshape(1, 1, 1, -1))
+    if act == ACT_LEAKY:
+        v = jnp.where(v < 0, jnp.round(v * 0.1), v)
+    elif act in (ACT_RELU, ACT_RELU6):
+        v = jnp.maximum(v, 0.0)
+    elif act != ACT_LINEAR:
+        raise ValueError(f"unsupported quantized activation code {act}")
+    out = v + out_zp.astype(jnp.float32)
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("stride", "pad", "act"))
+def quantized_conv2d(
+    x_u8: jax.Array,
+    w_i8: jax.Array,
+    bias_i32: jax.Array,
+    m: jax.Array,
+    x_zp_i32: jax.Array,
+    w_zp_i32: jax.Array,
+    out_zp: jax.Array,
+    *,
+    stride: int = 1,
+    pad: int = 0,
+    act: int = ACT_LINEAR,
+) -> jax.Array:
+    """Full integer conv layer: uint8 in -> uint8 out.
+
+    ``w_i8`` are pre-shifted int8 weights (conversion-time), ``bias_i32`` the
+    fully folded bias (float bias / (S1*S2) plus the static zero-point terms),
+    ``m`` the per-channel requant multiplier S1*S2/S3 as float32.
+    """
+    acc = conv_acc_int32(u8_to_i8(x_u8), w_i8, x_zp_i32, w_zp_i32, stride, pad)
+    return requant_activate(acc, bias_i32, m, out_zp, act)
+
+
+def fold_static_bias(
+    bias_f: jax.Array,
+    s_in: jax.Array,
+    s_w: jax.Array,
+    x_zp_i32: jax.Array,
+    w_zp_i32: jax.Array,
+    w_i8: jax.Array,
+) -> jax.Array:
+    """Fold the float bias and static zero-point terms into one int32 bias.
+
+    bias_i32[o] = round(bias_f[o] / (S1*S2[o])) - zx*wsum[o] + K*zx*zw[o]
+    (reference src/blas.c:306-334: weights_sum_int + biases_int32).
+    All zero points here are the int8-shifted ones (code - 128).
+    """
+    k = w_i8.shape[0] * w_i8.shape[1] * w_i8.shape[2]
+    wsum = jnp.sum(w_i8.astype(jnp.int32), axis=(0, 1, 2))
+    static = -x_zp_i32 * wsum + k * x_zp_i32 * w_zp_i32
+    return (jnp.round(bias_f / (s_in * s_w)).astype(jnp.int32) + static).astype(jnp.int32)
