@@ -1,0 +1,165 @@
+"""YOLO head decode, box correction, and NMS.
+
+Float-domain detection extraction, the TPU analog of the reference's
+src/yolo_layer.c:316-343 (get_yolo_detections), src/yolo_layer.c:247-273
+(correct_yolo_boxes) and src/box.c:21-88 (do_nms_obj / do_nms_sort).
+
+The decode is fully jittable and batched (runs fused on-device at the end of
+the inference program); box correction and NMS run host-side on the small
+filtered set, like the reference, with a numpy implementation that replicates
+darknet's exact suppression semantics for eval parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("num_classes", "net_w", "net_h"))
+def decode_head(
+    raw: jax.Array,
+    anchors: jax.Array,
+    num_classes: int,
+    net_w: int,
+    net_h: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one YOLO head.
+
+    Args:
+      raw: (N, H, W, A*(5+C)) raw conv output (float).
+      anchors: (A, 2) anchor (w, h) in input pixels for this head's mask.
+
+    Returns (boxes (N, H*W*A, 4) center-format relative to the network input,
+    objectness (N, H*W*A), class_probs (N, H*W*A, C)).
+
+    Matches src/yolo_layer.c:83-91 (get_yolo_box) + 132-146 (logistic
+    activations on x, y, obj, classes): bx=(i+sig(tx))/W, by=(j+sig(ty))/H,
+    bw=exp(tw)*anchor_w/net_w, bh=exp(th)*anchor_h/net_h.
+    """
+    n, h, w, _ = raw.shape
+    a = anchors.shape[0]
+    raw = raw.reshape(n, h, w, a, 5 + num_classes)
+    tx, ty, tw, th = raw[..., 0], raw[..., 1], raw[..., 2], raw[..., 3]
+    obj = jax.nn.sigmoid(raw[..., 4])
+    cls = jax.nn.sigmoid(raw[..., 5:])
+    cols = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1)
+    rows = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1)
+    bx = (jax.nn.sigmoid(tx) + cols) / w
+    by = (jax.nn.sigmoid(ty) + rows) / h
+    bw = jnp.exp(tw) * anchors[:, 0].reshape(1, 1, 1, a) / net_w
+    bh = jnp.exp(th) * anchors[:, 1].reshape(1, 1, 1, a) / net_h
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    flat = lambda t: t.reshape(n, h * w * a, *t.shape[4:])  # noqa: E731
+    return flat(boxes), flat(obj), flat(cls)
+
+
+def decode_all_heads(heads, net, threshold_free=True):
+    """Decode every YoloSpec head of a NetworkDef and concat the results."""
+    from yolo_quantization_tpu.nn.graph import YoloSpec
+
+    yolo_specs = [s for s in net.specs if isinstance(s, YoloSpec)]
+    assert len(yolo_specs) == len(heads)
+    parts = []
+    for raw, spec in zip(heads, yolo_specs):
+        anchors = jnp.asarray(
+            [spec.anchors[m] for m in spec.mask], dtype=jnp.float32
+        )
+        parts.append(
+            decode_head(raw, anchors, spec.classes, net.width, net.height)
+        )
+    boxes = jnp.concatenate([p[0] for p in parts], axis=1)
+    obj = jnp.concatenate([p[1] for p in parts], axis=1)
+    cls = jnp.concatenate([p[2] for p in parts], axis=1)
+    return boxes, obj, cls
+
+
+def correct_boxes(
+    boxes: np.ndarray, img_w: int, img_h: int, net_w: int, net_h: int
+) -> np.ndarray:
+    """Invert the letterbox transform (src/yolo_layer.c:247-273), relative coords."""
+    if net_w / img_w < net_h / img_h:
+        new_w, new_h = net_w, (img_h * net_w) // img_w
+    else:
+        new_w, new_h = (img_w * net_h) // img_h, net_h
+    out = boxes.astype(np.float64).copy()
+    out[:, 0] = (out[:, 0] - (net_w - new_w) / 2.0 / net_w) / (new_w / net_w)
+    out[:, 1] = (out[:, 1] - (net_h - new_h) / 2.0 / net_h) / (new_h / net_h)
+    out[:, 2] *= net_w / new_w
+    out[:, 3] *= net_h / new_h
+    return out.astype(np.float32)
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU between (..., 4) center-format boxes (src/box.c box_iou)."""
+    ax1, ax2 = a[..., 0] - a[..., 2] / 2, a[..., 0] + a[..., 2] / 2
+    ay1, ay2 = a[..., 1] - a[..., 3] / 2, a[..., 1] + a[..., 3] / 2
+    bx1, bx2 = b[..., 0] - b[..., 2] / 2, b[..., 0] + b[..., 2] / 2
+    by1, by2 = b[..., 1] - b[..., 3] / 2, b[..., 1] + b[..., 3] / 2
+    iw = np.maximum(0.0, np.minimum(ax2, bx2) - np.maximum(ax1, bx1))
+    ih = np.maximum(0.0, np.minimum(ay2, by2) - np.maximum(ay1, by1))
+    inter = iw * ih
+    union = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def nms_obj(
+    boxes: np.ndarray, obj: np.ndarray, cls: np.ndarray, nms_thresh: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """darknet do_nms_obj (src/box.c:21-55): class-agnostic greedy NMS.
+
+    Sorts by objectness descending; any later box with IoU > thresh against a
+    surviving box gets its objectness (and class probs) zeroed but REMAINS in
+    the arrays — the reference's F1 harness counts those zeroed entries in its
+    precision denominator (examples/detector.c:839-841), so we must not drop
+    them.
+    """
+    order = np.argsort(-obj, kind="stable")
+    boxes, obj, cls = boxes[order].copy(), obj[order].copy(), cls[order].copy()
+    for i in range(len(obj)):
+        if obj[i] == 0:
+            continue
+        suppress = box_iou(boxes[i + 1 :], boxes[i]) > nms_thresh
+        obj[i + 1 :][suppress] = 0.0
+        cls[i + 1 :][suppress] = 0.0
+    return boxes, obj, cls
+
+
+def nms_sort_per_class(
+    boxes: np.ndarray, probs: np.ndarray, nms_thresh: float
+) -> np.ndarray:
+    """darknet do_nms_sort (src/box.c:58-88): per-class greedy suppression.
+
+    probs: (M, C) = objectness * class_prob.  Returns probs with suppressed
+    entries zeroed, per class independently.
+    """
+    probs = probs.copy()
+    for c in range(probs.shape[1]):
+        order = np.argsort(-probs[:, c], kind="stable")
+        for oi, i in enumerate(order):
+            if probs[i, c] == 0:
+                continue
+            rest = order[oi + 1 :]
+            ious = box_iou(boxes[rest], boxes[i])
+            probs[rest[ious > nms_thresh], c] = 0.0
+    return probs
+
+
+@partial(jax.jit, static_argnames=("max_det",))
+def top_k_detections(boxes, obj, cls, max_det: int = 256):
+    """Device-side top-k prefilter so only O(max_det) boxes reach the host.
+
+    The reference walks all H*W*A predictions on the host per image
+    (src/yolo_layer.c:275-343); on TPU we cut the host transfer to the top-k
+    by objectness, which is exact as long as max_det exceeds the number of
+    above-threshold boxes (guaranteed for the eval thresholds used).
+    """
+    val, idx = jax.lax.top_k(obj, max_det)
+    return (
+        jnp.take_along_axis(boxes, idx[..., None], axis=1),
+        val,
+        jnp.take_along_axis(cls, idx[..., None], axis=1),
+    )

@@ -1,0 +1,231 @@
+"""QAT checkpoint -> integer program conversion.
+
+The offline step that turns float params + learned quantization ranges into a
+pure-integer inference program, replacing the reference's
+quantization_weights_and_activations preprocessing (src/blas.c:259-346):
+
+  per quantized conv:  fold BN (rolling stats) into weights/bias
+                       per-channel weight nudge -> uint8 weights (as int8-128)
+                       inherit input scale from the producing layer
+                       fold all static zero-point terms + float bias into one
+                       int32 bias (src/blas.c:306-334 weights_sum_int fold)
+                       requant multiplier M = S1*S2/S3 as f32 AND as the
+                       gemmlowp (M0, shift) pair for serialization parity
+  maxpool/upsample:    output scale := input scale (exact; max and
+                       nearest-repeat are value-preserving on codes)
+  route:               multi-input concat re-quantizes each branch onto the
+                       learned common grid — fixing the reference's silent
+                       scale-mismatch concat (src/route_layer.c:107-130,
+                       SURVEY §"hard parts")
+  shortcut:            float-domain add between dequantized branches,
+                       re-quantized to a learned range (the reference has no
+                       quantized shortcut at all)
+
+All conversion math is host-side numpy on concrete arrays; the result is an
+``IntProgram`` whose arrays form a pytree that infer/engine.py jits over.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from yolo_quantization_tpu.core.quant import QUANT_MAX, QUANT_MIN, quantize_multiplier
+from yolo_quantization_tpu.nn.graph import (
+    ConvSpec,
+    MaxPoolSpec,
+    NetworkDef,
+    RouteSpec,
+    ShortcutSpec,
+    UpsampleSpec,
+    YoloSpec,
+)
+from yolo_quantization_tpu.ops.qconv import ACTIVATION_BY_NAME
+
+BN_EPS = 1e-6  # matches nn/layers.py and reference src/blas.c:576
+
+
+def _nudge_np(lo: float, hi: float) -> tuple[float, int]:
+    """Scalar numpy twin of core.quant.nudge_min_max (reference src/blas.c:68-89)."""
+    lo, hi = min(lo, 0.0), max(hi, 0.0)
+    rng = hi - lo
+    scale = (rng if rng > 0 else 1.0) / (QUANT_MAX - QUANT_MIN)
+    zp = int(np.clip(np.round(-lo / scale), QUANT_MIN, QUANT_MAX))
+    return float(scale), zp
+
+
+@dataclass
+class QuantizedLayerCfg:
+    """Static (non-array) config for one layer of the integer program."""
+
+    kind: str  # qconv | maxpool | upsample | route | shortcut | yolo
+    spec: Any
+    out_scale: float
+    out_zp: int
+    # qconv extras
+    act: int = 0
+    quant_stop: bool = False
+    # route extras: per-branch (identity, ratio, zp_in) — ratio = s_in/s_out
+    branches: tuple = ()
+    # shortcut extras
+    in_scales: tuple = ()
+
+
+@dataclass
+class IntProgram:
+    """A fully-converted integer inference graph.
+
+    ``arrays`` maps layer index -> named numpy arrays (weights, biases,
+    multipliers); ``cfg`` holds the static per-layer configuration.  The pair
+    is what infer/engine.py compiles; it is also the serialization unit.
+    """
+
+    net: NetworkDef
+    cfg: list[QuantizedLayerCfg]
+    arrays: dict[int, dict[str, np.ndarray]]
+    in_scale: float
+    in_zp: int
+    meta: dict = field(default_factory=dict)
+
+
+def convert(net: NetworkDef, params, quant_state) -> IntProgram:
+    """Build the integer program from float params + learned ranges."""
+    params = {k: {n: np.asarray(v) for n, v in p.items()} for k, p in params.items()}
+    qs = {k: {n: float(v) for n, v in st.items()} for k, st in quant_state.items()}
+
+    in_scale, in_zp = _nudge_np(qs["input"]["min"], qs["input"]["max"])
+    out_qp: list[tuple[float, int]] = []  # per layer (scale, zp) of its output
+    cfg: list[QuantizedLayerCfg] = []
+    arrays: dict[int, dict[str, np.ndarray]] = {}
+
+    cur_qp = (in_scale, in_zp)
+    for i, s in enumerate(net.specs):
+        if isinstance(s, ConvSpec):
+            if not s.quantized:
+                raise NotImplementedError(
+                    "mixed float/quant graphs not supported yet (layer %d)" % i
+                )
+            p = params[i]
+            w = p["w"].astype(np.float64)  # HWIO
+            if s.batch_normalize:
+                inv = p["gamma"] / (np.sqrt(p["var"]) + BN_EPS)
+                w = w * inv.reshape(1, 1, 1, -1)
+                bias = p["bias"] - p["mean"] * inv
+            else:
+                bias = p["bias"].astype(np.float64)
+
+            # per-channel weight quantization (reference src/blas.c:108-168)
+            w_min = np.minimum(w.min(axis=(0, 1, 2)), 0.0)
+            w_max = np.maximum(w.max(axis=(0, 1, 2)), 0.0)
+            rngs = np.where(w_max - w_min > 0, w_max - w_min, 1.0)
+            s_w = rngs / (QUANT_MAX - QUANT_MIN)
+            zp_w = np.clip(np.round(-w_min / s_w), QUANT_MIN, QUANT_MAX).astype(np.int64)
+            w_u8 = np.clip(
+                np.round(w / s_w.reshape(1, 1, 1, -1)) + zp_w.reshape(1, 1, 1, -1),
+                QUANT_MIN,
+                QUANT_MAX,
+            ).astype(np.int64)
+            w_i8 = (w_u8 - 128).astype(np.int8)
+
+            s_in, zp_in = cur_qp
+            so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
+
+            # static zero-point folds (reference src/blas.c:306-334), in the
+            # int8-shifted domain used by the MXU kernels
+            x_zp_s = zp_in - 128
+            w_zp_s = zp_w - 128
+            kk = w.shape[0] * w.shape[1] * w.shape[2]
+            wsum = w_i8.astype(np.int64).sum(axis=(0, 1, 2))
+            static = -x_zp_s * wsum + kk * x_zp_s * w_zp_s
+            bias_i32 = (np.round(bias / (s_in * s_w)) + static).astype(np.int32)
+
+            m = (s_in * s_w / so).astype(np.float64)
+            m0, shift = quantize_multiplier(m)
+
+            arrays[i] = {
+                "w_i8": w_i8,
+                "bias_i32": bias_i32,
+                "m": m.astype(np.float32),
+                "x_zp": np.int32(x_zp_s),
+                "w_zp": w_zp_s.astype(np.int32),
+                "out_zp": np.int32(zo),
+                # serialization-parity artifacts (not used by the f32 epilogue)
+                "m0": m0,
+                "m_shift": shift,
+                "w_scale": s_w.astype(np.float32),
+                "w_zp_u8": zp_w.astype(np.uint8),
+            }
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="qconv",
+                    spec=s,
+                    out_scale=so,
+                    out_zp=zo,
+                    act=ACTIVATION_BY_NAME[s.activation],
+                    quant_stop=s.quant_stop,
+                )
+            )
+            cur_qp = (so, zo)
+
+        elif isinstance(s, (MaxPoolSpec, UpsampleSpec)):
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="maxpool" if isinstance(s, MaxPoolSpec) else "upsample",
+                    spec=s,
+                    out_scale=cur_qp[0],
+                    out_zp=cur_qp[1],
+                )
+            )
+
+        elif isinstance(s, RouteSpec):
+            srcs = [out_qp[j] for j in s.layers]
+            if len(srcs) == 1:
+                so, zo = srcs[0]
+            else:
+                so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
+            branches = []
+            for (sb, zb) in srcs:
+                ratio = sb / so
+                identity = abs(ratio - 1.0) < 1e-9 and zb == zo
+                branches.append((identity, float(ratio), int(zb)))
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="route",
+                    spec=s,
+                    out_scale=so,
+                    out_zp=zo,
+                    branches=tuple(branches),
+                )
+            )
+            cur_qp = (so, zo)
+
+        elif isinstance(s, ShortcutSpec):
+            skip_qp = out_qp[s.index]
+            so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="shortcut",
+                    spec=s,
+                    out_scale=so,
+                    out_zp=zo,
+                    in_scales=(cur_qp, skip_qp),
+                )
+            )
+            cur_qp = (so, zo)
+
+        elif isinstance(s, YoloSpec):
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="yolo", spec=s, out_scale=cur_qp[0], out_zp=cur_qp[1]
+                )
+            )
+        else:
+            raise TypeError(f"unknown spec {s}")
+
+        out_qp.append(cur_qp)
+
+    return IntProgram(
+        net=net, cfg=cfg, arrays=arrays, in_scale=in_scale, in_zp=in_zp
+    )

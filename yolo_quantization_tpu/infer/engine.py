@@ -1,0 +1,125 @@
+"""Integer inference engine: compiles an IntProgram into one jitted TPU function.
+
+The TPU analog of the reference's forward_network integer loop
+(src/network.c:229-338 + src/convolutional_layer.c:694-761): a single XLA
+program that takes a float NHWC image batch, quantizes it on-device, runs
+every layer in the uint8/int32 domain (int8 convs on the MXU, requant
+epilogues on the VPU, uint8 maxpool/route/upsample), dequantizes at the
+quant_stop heads, and decodes the YOLO outputs — one compilation, zero
+host-device ping-pong per layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_quantization_tpu.eval import detect
+from yolo_quantization_tpu.infer.convert import IntProgram
+from yolo_quantization_tpu.nn import layers as L
+from yolo_quantization_tpu.nn.graph import YoloSpec
+from yolo_quantization_tpu.ops import qconv
+
+
+def _quantize_input(x: jax.Array, scale: float, zp: int) -> jax.Array:
+    """Image floats -> uint8 codes (reference src/blas.c:213-256 quantizes the
+    letterboxed input with the stored input scale per image)."""
+    q = jnp.round(x / scale) + zp
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+
+
+def _requant_u8(x_u8: jax.Array, ratio: float, zp_in: int, zp_out: int) -> jax.Array:
+    """Affine regrid of uint8 codes: out = round((q - zi) * ratio) + zo."""
+    v = jnp.round((x_u8.astype(jnp.float32) - zp_in) * ratio) + zp_out
+    return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+def build_forward(program: IntProgram):
+    """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
+
+    The layer loop is unrolled at trace time (specs are static); XLA fuses
+    each conv with its epilogue and the surrounding u8 plumbing.
+    """
+    net = program.net
+    cfg = program.cfg
+
+    def forward(arrays, x):
+        x = _quantize_input(x, program.in_scale, program.in_zp)
+        outputs = []
+        heads = []
+        for i, c in enumerate(cfg):
+            s = c.spec
+            if c.kind == "qconv":
+                a = arrays[i]
+                y = qconv.quantized_conv2d(
+                    x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"], a["w_zp"],
+                    a["out_zp"], stride=s.stride, pad=s.pad, act=c.act,
+                )
+                if c.quant_stop:
+                    y = (y.astype(jnp.float32) - c.out_zp) * c.out_scale
+            elif c.kind == "maxpool":
+                y = L.maxpool_u8(x, s.size, s.stride, s.padding)
+            elif c.kind == "upsample":
+                y = L.upsample_nearest(x, s.stride)
+            elif c.kind == "route":
+                parts = []
+                for (j, (identity, ratio, zp_in)) in zip(s.layers, c.branches):
+                    t = outputs[j]
+                    if not identity:
+                        t = _requant_u8(t, ratio, zp_in, c.out_zp)
+                    parts.append(t)
+                y = jnp.concatenate(parts, axis=-1)
+            elif c.kind == "shortcut":
+                (s_x, z_x), (s_k, z_k) = c.in_scales
+                fx = (x.astype(jnp.float32) - z_x) * s_x
+                fk = (outputs[s.index].astype(jnp.float32) - z_k) * s_k
+                f = L.activate(fx + fk, s.activation)
+                y = _quantize_input(f, c.out_scale, c.out_zp)
+            elif c.kind == "yolo":
+                y = x
+                heads.append(x)
+            else:
+                raise ValueError(c.kind)
+            outputs.append(y)
+            x = y
+        return heads
+
+    return forward
+
+
+class Engine:
+    """Batched quantized-inference engine for one model + converted program.
+
+    predict() runs image batch -> decoded (boxes, objectness, class_probs)
+    entirely on device, then hands the top-k to the host — the equivalent of
+    the reference's network_predict + get_network_boxes
+    (src/network.c:570-640) without per-layer host transfers.
+    """
+
+    def __init__(self, program: IntProgram, max_det: int = 256):
+        self.program = program
+        self.max_det = max_det
+        self.arrays = jax.tree.map(jnp.asarray, program.arrays)
+        fwd = build_forward(program)
+        net = program.net
+
+        @jax.jit
+        def _run(arrays, x):
+            heads = fwd(arrays, x)
+            boxes, obj, cls = detect.decode_all_heads(heads, net)
+            return detect.top_k_detections(boxes, obj, cls, self.max_det)
+
+        self._run = _run
+
+    def predict(self, images: np.ndarray):
+        """images: (N, H, W, 3) float32 letterboxed to the network size."""
+        boxes, obj, cls = self._run(self.arrays, jnp.asarray(images))
+        return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
+
+    def raw_heads(self, images: np.ndarray):
+        fwd = build_forward(self.program)
+        heads = jax.jit(fwd)(self.arrays, jnp.asarray(images))
+        return [np.asarray(h) for h in heads]
