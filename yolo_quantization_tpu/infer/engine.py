@@ -116,6 +116,12 @@ class Engine:
 
     def predict(self, images: np.ndarray):
         """images: (N, H, W, 3) float32 letterboxed to the network size."""
+        net = self.program.net
+        if images.shape[1:] != (net.height, net.width, net.channels):
+            raise ValueError(
+                f"engine expects {(net.height, net.width, net.channels)} images, "
+                f"got {images.shape[1:]}; letterbox to the network size first"
+            )
         boxes, obj, cls = self._run(self.arrays, jnp.asarray(images))
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 

@@ -154,6 +154,35 @@ def init_params(key: jax.Array, net: NetworkDef) -> dict[int, dict[str, jax.Arra
     return params
 
 
+def init_params_numpy(seed: int, net: NetworkDef) -> dict[int, dict[str, Any]]:
+    """Host-side numpy twin of init_params — no device round-trips.
+
+    Used by presets/bench where params are immediately consumed by the
+    (numpy) converter; avoids shipping every random tensor through the
+    accelerator just to pull it back.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    params: dict[int, dict[str, Any]] = {}
+    in_c = net.channels
+    chans = net.out_channels()
+    for i, s in enumerate(net.specs):
+        if isinstance(s, ConvSpec):
+            scale = float(np.sqrt(2.0 / (s.size * s.size * in_c)))
+            p = {
+                "w": (rng.standard_normal((s.size, s.size, in_c, s.filters)) * scale).astype("float32"),
+                "bias": np.zeros((s.filters,), "float32"),
+            }
+            if s.batch_normalize:
+                p["gamma"] = np.ones((s.filters,), "float32")
+                p["mean"] = np.zeros((s.filters,), "float32")
+                p["var"] = np.ones((s.filters,), "float32")
+            params[i] = p
+        in_c = chans[i]
+    return params
+
+
 def init_quant_state(net: NetworkDef) -> dict[str, dict[str, jax.Array]]:
     """EMA range state for QAT: one (min, max) pair per tracked activation.
 
@@ -165,19 +194,21 @@ def init_quant_state(net: NetworkDef) -> dict[str, dict[str, jax.Array]]:
     ranges for them — their scale is inherited, which the integer engine makes
     exact.  Zeros mean "unseen"; ema_update adopts the first batch stats.
     """
+    import numpy as np
+
     qs: dict[str, dict[str, jax.Array]] = {
-        "input": {"min": jnp.float32(0.0), "max": jnp.float32(0.0)}
+        "input": {"min": np.float32(0.0), "max": np.float32(0.0)}
     }
     for i, s in enumerate(net.specs):
         if isinstance(s, ConvSpec) and s.quantized:
-            qs[f"act_{i}"] = {"min": jnp.float32(0.0), "max": jnp.float32(0.0)}
+            qs[f"act_{i}"] = {"min": np.float32(0.0), "max": np.float32(0.0)}
         elif isinstance(s, RouteSpec) and s.quantized and len(s.layers) > 1:
-            qs[f"act_{i}"] = {"min": jnp.float32(0.0), "max": jnp.float32(0.0)}
+            qs[f"act_{i}"] = {"min": np.float32(0.0), "max": np.float32(0.0)}
         elif isinstance(s, ShortcutSpec):
             # The reference leaves shortcut float-only (src/shortcut_layer.c) and
             # therefore cannot run full yolov3 end-to-end quantized; we track a
             # range so the engine can re-quantize after the float-domain add.
-            qs[f"act_{i}"] = {"min": jnp.float32(0.0), "max": jnp.float32(0.0)}
+            qs[f"act_{i}"] = {"min": np.float32(0.0), "max": np.float32(0.0)}
     return qs
 
 

@@ -1,0 +1,175 @@
+"""YOLOv3 detection loss, fully jittable (static shapes, scatter-based assignment).
+
+Re-derives the reference's delta-based loss (src/yolo_layer.c:132-240) as a
+scalar objective whose gradients match darknet's deltas exactly:
+
+- darknet applies logistic to x/y/obj/class in forward and back-propagates
+  (target - activated) WITHOUT the logistic derivative
+  (src/yolo_layer.c:103-106,178,183; backward_yolo_layer just copies deltas).
+  (target - sigmoid(z)) is precisely d/dz of sigmoid cross-entropy, so here
+  those terms are BCE-with-logits.
+- w/h deltas are (target - raw): plain squared error on the raw outputs.
+- box deltas are scaled by (2 - w*h) (src/yolo_layer.c:190,219) -> loss weight.
+- objectness: background target 0 everywhere, but ignored (zero loss) where
+  the predicted box overlaps any truth with IoU > ignore_thresh
+  (src/yolo_layer.c:176-181); foreground target 1 at assigned cells.
+- assignment: each truth is assigned to the anchor with best wh-IoU across
+  ALL anchors of the network; the head whose mask contains that anchor owns
+  the truth (src/yolo_layer.c:195-219).
+
+Truths are fixed-size (B, MAX_BOXES, 5) arrays [x, y, w, h, class] in
+relative coords, zero-padded — matching the reference's net.truth layout
+(90 boxes, src/yolo_layer.c:167-168).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+MAX_BOXES = 90  # reference max_boxes (src/yolo_layer.c truth loop bound)
+
+
+def _bce_logits(logit, target):
+    """Sigmoid cross-entropy, numerically stable."""
+    return jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+
+
+def _wh_iou(w1, h1, w2, h2):
+    """IoU of origin-centered boxes — anchor matching (src/yolo_layer.c:203-213)."""
+    inter = jnp.minimum(w1, w2) * jnp.minimum(h1, h2)
+    union = w1 * h1 + w2 * h2 - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def _box_iou_xywh(a, b):
+    """IoU of center-format boxes, broadcasting on leading dims."""
+    ax1, ax2 = a[..., 0] - a[..., 2] / 2, a[..., 0] + a[..., 2] / 2
+    ay1, ay2 = a[..., 1] - a[..., 3] / 2, a[..., 1] + a[..., 3] / 2
+    bx1, bx2 = b[..., 0] - b[..., 2] / 2, b[..., 0] + b[..., 2] / 2
+    by1, by2 = b[..., 1] - b[..., 3] / 2, b[..., 1] + b[..., 3] / 2
+    iw = jnp.maximum(0.0, jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1))
+    ih = jnp.maximum(0.0, jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1))
+    inter = iw * ih
+    union = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+
+@partial(jax.jit, static_argnames=("mask", "anchors", "classes", "net_w", "net_h",
+                                   "ignore_thresh"))
+def yolo_head_loss(
+    raw: jax.Array,          # (B, H, W, A*(5+C)) raw conv output
+    truths: jax.Array,       # (B, MAX_BOXES, 5)  [x,y,w,h,cls], zero-padded
+    mask: tuple[int, ...],
+    anchors: tuple[tuple[float, float], ...],
+    classes: int,
+    net_w: int,
+    net_h: int,
+    ignore_thresh: float = 0.7,
+):
+    b, h, w, _ = raw.shape
+    a = len(mask)
+    raw = raw.reshape(b, h, w, a, 5 + classes)
+    anchors_arr = jnp.asarray(anchors, jnp.float32)           # (total, 2)
+    head_anchors = anchors_arr[jnp.asarray(mask)]             # (a, 2)
+
+    # ---- predicted boxes (for the ignore mask), src/yolo_layer.c:163-181 ----
+    cols = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1)
+    rows = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1)
+    px = (jax.nn.sigmoid(raw[..., 0]) + cols) / w
+    py = (jax.nn.sigmoid(raw[..., 1]) + rows) / h
+    pw = jnp.exp(raw[..., 2]) * head_anchors[:, 0].reshape(1, 1, 1, a) / net_w
+    ph = jnp.exp(raw[..., 3]) * head_anchors[:, 1].reshape(1, 1, 1, a) / net_h
+    pred_boxes = jnp.stack([px, py, pw, ph], axis=-1)         # (B,H,W,A,4)
+
+    valid = truths[..., 2] > 0                                # (B, M) w>0 marks real boxes
+    ious = _box_iou_xywh(
+        pred_boxes[:, :, :, :, None, :], truths[:, None, None, None, :, :4]
+    )                                                         # (B,H,W,A,M)
+    best_iou = jnp.max(jnp.where(valid[:, None, None, None, :], ious, 0.0), axis=-1)
+    ignore = best_iou > ignore_thresh
+
+    # ---- truth -> anchor assignment, src/yolo_layer.c:195-219 ----
+    t_xy = truths[..., 0:2]
+    t_wh = truths[..., 2:4]
+    t_cls = truths[..., 4].astype(jnp.int32)
+    wh_ious = _wh_iou(
+        t_wh[..., 0:1] * net_w, t_wh[..., 1:2] * net_h,
+        anchors_arr[None, None, :, 0], anchors_arr[None, None, :, 1],
+    )                                                         # (B,M,total)
+    best_n = jnp.argmax(wh_ious, axis=-1)                     # (B,M)
+    mask_arr = jnp.asarray(mask)
+    in_head = jnp.any(best_n[..., None] == mask_arr[None, None, :], axis=-1)
+    anchor_slot = jnp.argmax(
+        best_n[..., None] == mask_arr[None, None, :], axis=-1
+    )                                                         # index within mask
+    gi = jnp.clip((t_xy[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    gj = jnp.clip((t_xy[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    assign = valid & in_head                                  # (B,M)
+
+    # targets in network units (src/yolo_layer.c:98-101)
+    tx = t_xy[..., 0] * w - gi
+    ty = t_xy[..., 1] * h - gj
+    anchor_wh = anchors_arr[best_n]                           # (B,M,2)
+    tw = jnp.log(jnp.maximum(t_wh[..., 0] * net_w / anchor_wh[..., 0], 1e-9))
+    th = jnp.log(jnp.maximum(t_wh[..., 1] * net_h / anchor_wh[..., 1], 1e-9))
+    box_scale = 2.0 - t_wh[..., 0] * t_wh[..., 1]             # src/yolo_layer.c:190
+
+    # scatter targets onto the grid; drop unassigned via out-of-range index
+    bi = jnp.broadcast_to(jnp.arange(b)[:, None], gi.shape)
+    drop = jnp.where(assign, gj, h)  # row index h is out of range -> dropped
+    obj_target = jnp.zeros((b, h, w, a)).at[bi, drop, gi, anchor_slot].set(
+        1.0, mode="drop"
+    )
+    scale_grid = jnp.zeros((b, h, w, a)).at[bi, drop, gi, anchor_slot].set(
+        box_scale, mode="drop"
+    )
+    txywh = jnp.stack([tx, ty, tw, th], axis=-1)
+    box_target = jnp.zeros((b, h, w, a, 4)).at[bi, drop, gi, anchor_slot].set(
+        txywh, mode="drop"
+    )
+    cls_target = jnp.zeros((b, h, w, a, classes)).at[
+        bi, drop, gi, anchor_slot, jnp.where(assign, t_cls, 0)
+    ].set(1.0, mode="drop")
+    assigned = obj_target > 0                                  # (B,H,W,A)
+
+    # ---- loss terms (gradient-equivalent to darknet deltas) ----
+    xy_loss = scale_grid[..., None] * _bce_logits(raw[..., 0:2], box_target[..., 0:2])
+    wh_loss = 0.5 * scale_grid[..., None] * (raw[..., 2:4] - box_target[..., 2:4]) ** 2
+    obj_bce = _bce_logits(raw[..., 4], obj_target)
+    obj_loss = jnp.where(assigned, obj_bce, jnp.where(ignore, 0.0, obj_bce))
+    cls_loss = jnp.where(
+        assigned[..., None], _bce_logits(raw[..., 5:], cls_target), 0.0
+    )
+    total = (
+        jnp.sum(jnp.where(assigned[..., None], xy_loss, 0.0))
+        + jnp.sum(jnp.where(assigned[..., None], wh_loss, 0.0))
+        + jnp.sum(obj_loss)
+        + jnp.sum(cls_loss)
+    )
+    stats = {
+        "obj_count": jnp.sum(assigned),
+        "avg_obj": jnp.sum(jax.nn.sigmoid(raw[..., 4]) * assigned)
+        / jnp.maximum(jnp.sum(assigned), 1),
+        "best_iou_mean": jnp.mean(best_iou),
+    }
+    return total, stats
+
+
+def total_loss(heads, truths, net):
+    """Sum of per-head losses over every YoloSpec of a NetworkDef."""
+    from yolo_quantization_tpu.nn.graph import YoloSpec
+
+    specs = [s for s in net.specs if isinstance(s, YoloSpec)]
+    loss = 0.0
+    all_stats = []
+    for raw, s in zip(heads, specs):
+        l, st = yolo_head_loss(
+            raw, truths, s.mask, s.anchors, s.classes, net.width, net.height
+        )
+        loss = loss + l
+        all_stats.append(st)
+    batch = heads[0].shape[0]
+    return loss / batch, all_stats

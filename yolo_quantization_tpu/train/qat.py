@@ -1,0 +1,152 @@
+"""QAT training loop: state, LR policy, optimizer, jitted data-parallel step.
+
+Replaces the reference's train path (examples/detector.c:8-156 +
+src/network.c:365-404 + src/convolutional_kernels.cu:107-389):
+
+- SGD with momentum 0.9, weight decay 5e-4 on conv kernels only (darknet
+  applies decay to .weights, not biases/BN, src/convolutional_layer.c:901-919).
+- darknet 'steps' LR policy with burn-in: lr * (step/burn_in)^4 during
+  burn-in, then piecewise scale drops (reference src/network.c get_current_rate).
+- BN rolling statistics EMA .99/.01 (src/batchnorm_layer.c:143-146).
+- Fake-quant activates after ``quant_start_step`` (cfg start_quantization_step,
+  reference src/parser.c:592): before it, plain float training; after it, the
+  QAT graph with EMA range tracking.  The mode flip happens host-side between
+  two jitted step functions — no traced branching.
+- Data parallelism: one jitted step over a Mesh; batch sharded on the 'data'
+  axis, params replicated; XLA emits the per-step gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolo_quantization_tpu.nn.graph import ConvSpec, ForwardMode, NetworkDef, forward
+from yolo_quantization_tpu.train.loss import total_loss
+
+BN_ROLLING_DECAY = 0.99  # reference src/batchnorm_layer.c:143-146
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """[net] hyperparameters (reference src/parser.c:579-674)."""
+
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    burn_in: int = 1000
+    max_batches: int = 550200
+    lr_steps: tuple[int, ...] = (400000, 450000)
+    lr_scales: tuple[float, ...] = (0.1, 0.1)
+    quant_start_step: int = 10000
+    batch_size: int = 64
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    quant_state: Any
+    step: jax.Array
+
+
+def lr_schedule(cfg: TrainConfig):
+    """darknet policy=steps with burn-in (src/network.c get_current_rate)."""
+
+    def lr(step):
+        rate = jnp.float32(cfg.learning_rate)
+        warm = cfg.learning_rate * (step / max(cfg.burn_in, 1)) ** 4.0
+        for s, sc in zip(cfg.lr_steps, cfg.lr_scales):
+            rate = jnp.where(step > s, rate * sc, rate)
+        return jnp.where(step < cfg.burn_in, warm, rate)
+
+    return lr
+
+
+def _decay_mask(params):
+    """Weight decay applies to conv kernels only (darknet update rule)."""
+    return {i: {k: (k == "w") for k in p} for i, p in params.items()}
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
+        optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum),
+    )
+
+
+def init_train_state(net: NetworkDef, cfg: TrainConfig, key) -> TrainState:
+    from yolo_quantization_tpu.nn.graph import init_params, init_quant_state
+
+    params = init_params(key, net)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        quant_state=init_quant_state(net),
+        step=jnp.int32(0),
+    )
+
+
+def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
+    """Build the jitted step for one phase (float warmup or QAT).
+
+    Returns step(state, images, truths) -> (state, metrics).  Non-trainable
+    state (BN rolling stats via bn_stats aux, EMA quant ranges) is threaded
+    functionally; masked out of the gradient.
+    """
+    tx = make_optimizer(cfg)
+    mode = ForwardMode(train=True, qat=qat, update_ranges=qat)
+
+    def loss_fn(params, quant_state, images, truths):
+        heads, aux = forward(net, params, images, mode, quant_state)
+        loss, _ = total_loss(heads, truths, net)
+        return loss, aux
+
+    @jax.jit
+    def step(state: TrainState, images, truths):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.quant_state, images, truths
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # BN rolling stats update (darknet .99/.01 EMA)
+        for i, (mean, var) in aux["bn_stats"].items():
+            params[i]["mean"] = (
+                BN_ROLLING_DECAY * params[i]["mean"] + (1 - BN_ROLLING_DECAY) * mean
+            )
+            params[i]["var"] = (
+                BN_ROLLING_DECAY * params[i]["var"] + (1 - BN_ROLLING_DECAY) * var
+            )
+        quant_state = aux["quant_state"] if qat else state.quant_state
+        new_state = TrainState(params, opt_state, quant_state, state.step + 1)
+        metrics = {"loss": loss, "lr": lr_schedule(cfg)(state.step)}
+        return new_state, metrics
+
+    return step
+
+
+class Trainer:
+    """Host-side driver selecting float vs QAT step by global step count
+    (the reference's `*net->seen > quant_start_step` check,
+    src/convolutional_kernels.cu:110)."""
+
+    def __init__(self, net: NetworkDef, cfg: TrainConfig, key=None):
+        self.net = net
+        self.cfg = cfg
+        self.state = init_train_state(net, cfg, key if key is not None else jax.random.PRNGKey(0))
+        self._float_step = make_train_step(net, cfg, qat=False)
+        self._qat_step = make_train_step(net, cfg, qat=True)
+
+    def step(self, images, truths):
+        fn = (
+            self._qat_step
+            if int(self.state.step) >= self.cfg.quant_start_step
+            else self._float_step
+        )
+        self.state, metrics = fn(self.state, images, truths)
+        return metrics
