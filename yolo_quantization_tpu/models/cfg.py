@@ -1,0 +1,148 @@
+"""darknet .cfg importer: ini-style model files -> NetworkDef (+ TrainConfig).
+
+Parses the reference's cfg dialect (read_cfg src/parser.c:817-850, section
+parsers src/parser.c:153-577, [net] options src/parser.c:579-674) so existing
+model files — including cfg/yolov3_tiny_quant_channelwise.cfg with its
+``quantized=``/``quant_stop=`` per-layer flags — load directly into the
+declarative graph.  Relative layer references ([route] layers=-4,
+[shortcut] from=-3) are normalized to absolute indices.
+"""
+
+from __future__ import annotations
+
+from yolo_quantization_tpu.nn.graph import (
+    ConvSpec,
+    MaxPoolSpec,
+    NetworkDef,
+    RouteSpec,
+    ShortcutSpec,
+    UpsampleSpec,
+    YoloSpec,
+)
+from yolo_quantization_tpu.train.qat import TrainConfig
+
+_ACT_MAP = {
+    "linear": "linear",
+    "leaky": "leaky",
+    "relu": "relu",
+    "relu6": "relu6",
+    "logistic": "logistic",
+}
+
+
+def read_cfg_sections(text: str) -> list[tuple[str, dict[str, str]]]:
+    """[section] blocks of key=value lines, comments (#, ;) stripped."""
+    sections: list[tuple[str, dict[str, str]]] = []
+    cur: dict[str, str] | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line[0] in "#;":
+            continue
+        if line.startswith("["):
+            cur = {}
+            sections.append((line.strip("[]").lower(), cur))
+        elif "=" in line and cur is not None:
+            k, v = line.split("=", 1)
+            cur[k.strip()] = v.strip()
+    return sections
+
+
+def _ints(v: str) -> tuple[int, ...]:
+    return tuple(int(x) for x in v.replace(" ", "").split(",") if x != "")
+
+
+def _floats(v: str) -> tuple[float, ...]:
+    return tuple(float(x) for x in v.replace(" ", "").split(",") if x != "")
+
+
+def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
+    sections = read_cfg_sections(text)
+    if not sections or sections[0][0] not in ("net", "network"):
+        raise ValueError("cfg must start with a [net] section")
+    net_opts = sections[0][1]
+    width = int(net_opts.get("width", 416))
+    height = int(net_opts.get("height", 416))
+    channels = int(net_opts.get("channels", 3))
+
+    train_cfg = TrainConfig(
+        learning_rate=float(net_opts.get("learning_rate", 1e-3)),
+        momentum=float(net_opts.get("momentum", 0.9)),
+        weight_decay=float(net_opts.get("decay", 5e-4)),
+        burn_in=int(net_opts.get("burn_in", 0)),
+        max_batches=int(net_opts.get("max_batches", 500000)),
+        lr_steps=_ints(net_opts.get("steps", "")) if "steps" in net_opts else (),
+        lr_scales=_floats(net_opts.get("scales", "")) if "scales" in net_opts else (),
+        quant_start_step=int(net_opts.get("start_quantization_step", 10**9)),
+        batch_size=int(net_opts.get("batch", 1)),
+    )
+
+    specs = []
+    for name, opts in sections[1:]:
+        i = len(specs)  # index this layer will get
+
+        def flag(key, default=0):
+            return bool(int(opts.get(key, default)))
+
+        if name == "convolutional":
+            size = int(opts.get("size", 1))
+            # darknet: pad flag means size//2 (src/parser.c:166-168)
+            pad = size // 2 if flag("pad") else int(opts.get("padding", 0))
+            specs.append(
+                ConvSpec(
+                    filters=int(opts.get("filters", 1)),
+                    size=size,
+                    stride=int(opts.get("stride", 1)),
+                    pad=pad,
+                    activation=_ACT_MAP[opts.get("activation", "logistic")],
+                    batch_normalize=flag("batch_normalize"),
+                    quantized=flag("quantized"),
+                    quant_stop=flag("quant_stop"),
+                )
+            )
+        elif name == "maxpool":
+            size = int(opts.get("size", 1))
+            stride = int(opts.get("stride", 1))  # darknet default, src/parser.c parse_maxpool
+            pad = int(opts.get("padding", size - 1))
+            specs.append(
+                MaxPoolSpec(
+                    size=size,
+                    stride=stride,
+                    pad=None if pad == size - 1 else pad,  # None = darknet default
+                    quantized=flag("quantized"),
+                )
+            )
+        elif name == "upsample":
+            specs.append(
+                UpsampleSpec(stride=int(opts.get("stride", 2)), quantized=flag("quantized"))
+            )
+        elif name == "route":
+            rel = _ints(opts["layers"])
+            absolute = tuple(r if r >= 0 else i + r for r in rel)
+            specs.append(RouteSpec(layers=absolute, quantized=flag("quantized")))
+        elif name == "shortcut":
+            frm = int(opts["from"])
+            specs.append(
+                ShortcutSpec(
+                    index=frm if frm >= 0 else i + frm,
+                    activation=_ACT_MAP[opts.get("activation", "linear")],
+                )
+            )
+        elif name == "yolo":
+            flat = _floats(opts["anchors"])
+            anchors = tuple((flat[j], flat[j + 1]) for j in range(0, len(flat), 2))
+            specs.append(
+                YoloSpec(
+                    mask=_ints(opts.get("mask", "0")),
+                    anchors=anchors,
+                    classes=int(opts.get("classes", 20)),
+                )
+            )
+        else:
+            raise NotImplementedError(f"cfg section [{name}] not supported")
+
+    return NetworkDef(tuple(specs), width=width, height=height, channels=channels), train_cfg
+
+
+def load_cfg(path: str) -> tuple[NetworkDef, TrainConfig]:
+    with open(path) as f:
+        return parse_cfg(f.read())
