@@ -1,0 +1,126 @@
+"""Data pipeline and eval harness tests (synthetic mini-dataset)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolo_quantization_tpu.data import voc
+from yolo_quantization_tpu.data.image import letterbox, load_image_rgb
+from yolo_quantization_tpu.data.loader import BatchLoader
+from yolo_quantization_tpu.eval import detect
+from yolo_quantization_tpu.eval.f1 import f1_sweep, recall_eval
+from yolo_quantization_tpu.train.loss import MAX_BOXES
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """4 images with one bright rectangle each + darknet-style labels."""
+    root = tmp_path_factory.mktemp("voc")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        im = (rng.uniform(0, 0.2, (96, 128, 3)) * 255).astype(np.uint8)
+        x, y, w, h = 0.5, 0.5, 0.4, 0.5
+        x0, y0 = int((x - w / 2) * 128), int((y - h / 2) * 96)
+        x1, y1 = int((x + w / 2) * 128), int((y + h / 2) * 96)
+        im[y0:y1, x0:x1] = [250, 60, 40]
+        p = img_dir / f"img_{i}.jpg"
+        Image.fromarray(im).save(p, quality=95)
+        (lbl_dir / f"img_{i}.txt").write_text(f"1 {x} {y} {w} {h}\n")
+        paths.append(str(p))
+    list_file = root / "list.txt"
+    list_file.write_text("\n".join(paths) + "\n")
+    return str(list_file)
+
+
+class TestLabels:
+    def test_label_path_mapping(self):
+        assert voc.label_path_for("/d/images/a.jpg") == "/d/labels/a.txt"
+        assert voc.label_path_for("/d/JPEGImages/a.JPEG") == "/d/labels/a.txt"
+
+    def test_read_boxes(self, mini_dataset):
+        paths = voc.read_image_list(mini_dataset)
+        boxes = voc.read_boxes(voc.label_path_for(paths[0]))
+        assert boxes.shape == (1, 5)
+        assert boxes[0, 0] == 1.0
+
+    def test_missing_label_file_is_empty(self):
+        assert voc.read_boxes("/nonexistent/x.txt").shape == (0, 5)
+
+
+class TestAugmentation:
+    def test_augment_shapes_and_ranges(self, mini_dataset, rng):
+        paths = voc.read_image_list(mini_dataset)
+        im = load_image_rgb(paths[0])
+        boxes = voc.read_boxes(voc.label_path_for(paths[0]))
+        for _ in range(10):
+            out, ob = voc.augment_detection(im, boxes, 96, 96, rng)
+            assert out.shape == (96, 96, 3)
+            assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+            if len(ob):
+                assert np.all(ob[:, 1:] >= 0) and np.all(ob[:, 1:] <= 1)
+
+    def test_hsv_distort_identity_bounds(self, rng):
+        im = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        cfg = voc.AugmentConfig(hue=0.0, saturation=1.0, exposure=1.0)
+        out = voc.distort_hsv(im, rng, cfg)
+        np.testing.assert_allclose(out, im, atol=1e-5)
+
+    def test_letterbox_boxes_roundtrip_with_correct_boxes(self):
+        # box through letterbox transform then correct_boxes == original
+        boxes = np.array([[0.0, 0.3, 0.6, 0.2, 0.25]], np.float32)
+        lb = voc.letterbox_boxes(boxes, img_w=128, img_h=96, net_w=64, net_h=64)
+        back = detect.correct_boxes(lb[:, 1:5], 128, 96, 64, 64)
+        np.testing.assert_allclose(back, boxes[:, 1:5], atol=1e-2)
+
+
+class TestLoader:
+    def test_batches_and_shutdown(self, mini_dataset):
+        ds = voc.DetectionDataset(mini_dataset, 96, 96, augment=True)
+        loader = BatchLoader(ds, batch_size=3, workers=2, prefetch=2)
+        try:
+            for _ in range(3):
+                images, truths = loader.next()
+                assert images.shape == (3, 96, 96, 3)
+                assert truths.shape == (3, MAX_BOXES, 5)
+        finally:
+            loader.close()
+
+    def test_eval_mode_letterboxes(self, mini_dataset):
+        ds = voc.DetectionDataset(mini_dataset, 64, 64, augment=False)
+        im, truth = ds.sample(0)
+        assert im.shape == (64, 64, 3)
+        # image is 128x96 -> letterboxed with vertical gray bars
+        assert im[0, 0, 0] == pytest.approx(0.5, abs=0.02)
+        assert truth[0, 2] > 0  # box survived the transform
+
+
+class TestF1Harness:
+    def test_sweep_runs_and_counts_consistently(self, mini_dataset):
+        from yolo_quantization_tpu.infer.engine import Engine
+        from yolo_quantization_tpu.models.presets import flagship_program
+
+        engine = Engine(flagship_program(classes=5, size=64), max_det=32)
+        rows = f1_sweep(engine, mini_dataset, thresholds=(0.1, 0.5))
+        assert len(rows) == 2
+        for row in rows:
+            assert row.tp_fn == 4  # one truth per image
+            assert 0 <= row.tp <= row.tp_fn
+            assert row.tp_fp >= 0
+        # higher threshold can only reduce raw proposals
+        assert rows[1].tp_fp <= rows[0].tp_fp
+
+    def test_recall_eval_runs(self, mini_dataset):
+        from yolo_quantization_tpu.infer.engine import Engine
+        from yolo_quantization_tpu.models.presets import flagship_program
+
+        engine = Engine(flagship_program(classes=5, size=64), max_det=32)
+        out = recall_eval(engine, mini_dataset, max_images=2)
+        assert set(out) == {"recall", "avg_iou", "proposals_per_image", "total_truths"}
+        assert out["total_truths"] == 2

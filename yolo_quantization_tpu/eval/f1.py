@@ -1,0 +1,141 @@
+"""F1 / recall evaluation harnesses, replicating the reference protocols.
+
+``f1_sweep`` is the benchmark harness of examples/detector.c:760-876
+(validate_detector_f1), which produced the reference's headline
+90.08/91.83/90.94 numbers (README.md:58, BASELINE.md):
+
+  for thresh in 0.1..0.7 step 0.1:
+    per image: detections with objectness > thresh       (get_network_boxes)
+               class-agnostic NMS 0.1                    (do_nms_obj)
+               TP_FP += ALL returned boxes (including NMS-zeroed ones —
+                        faithful to detector.c:839-841)
+               per truth: TP_FN++; TP++ if best IoU over
+                          above-thresh dets > 0.1        (detector.c:842-854)
+    precision = TP/TP_FP, recall = TP/TP_FN, F1 = 2TP/(TP_FP+TP_FN)
+
+``recall_eval`` mirrors validate_detector_recall (examples/detector.c:647-758).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from yolo_quantization_tpu.data.image import letterbox, load_image_rgb
+from yolo_quantization_tpu.data.voc import label_path_for, read_boxes, read_image_list
+from yolo_quantization_tpu.eval import detect
+
+
+@dataclass
+class F1Row:
+    thresh: float
+    tp: int
+    tp_fp: int
+    tp_fn: int
+    avg_iou: float
+
+    @property
+    def precision(self) -> float:
+        return 100.0 * self.tp / max(self.tp_fp, 1)
+
+    @property
+    def recall(self) -> float:
+        return 100.0 * self.tp / max(self.tp_fn, 1)
+
+    @property
+    def f1(self) -> float:
+        return 100.0 * 2 * self.tp / max(self.tp_fp + self.tp_fn, 1)
+
+
+def _predict_image(engine, path: str):
+    """letterbox + engine forward; returns (boxes_rel_to_image, obj) host-side."""
+    im = load_image_rgb(path)
+    h, w, _ = im.shape
+    net = engine.program.net
+    x = letterbox(im, net.width, net.height)
+    boxes, obj, cls = engine.predict(x[None])
+    boxes = detect.correct_boxes(boxes[0], w, h, net.width, net.height)
+    return boxes, obj[0], cls[0]
+
+
+def f1_sweep(
+    engine,
+    list_file: str,
+    thresholds=tuple(round(0.1 * i, 1) for i in range(1, 7)),
+    iou_thresh: float = 0.1,
+    nms: float = 0.1,
+    max_images: int | None = None,
+    verbose: bool = False,
+) -> list[F1Row]:
+    paths = read_image_list(list_file)
+    if max_images:
+        paths = paths[:max_images]
+    # run the network once per image; reuse detections across thresholds
+    cache = []
+    for p in paths:
+        boxes, obj, cls = _predict_image(engine, p)
+        truths = read_boxes(label_path_for(p))
+        cache.append((boxes, obj, truths))
+
+    rows = []
+    for thresh in thresholds:
+        tp = tp_fp = tp_fn = 0
+        avg_iou = 0.0
+        for boxes, obj, truths in cache:
+            # get_network_boxes keeps objectness > thresh (yolo_layer.c:275-343)
+            keep = obj > thresh
+            b, o = boxes[keep], obj[keep]
+            b, o, _ = detect.nms_obj(b, o, np.zeros((len(o), 1)), nms)
+            tp_fp += len(o)  # includes NMS-zeroed entries (detector.c:839-841)
+            for t in truths:
+                tp_fn += 1
+                tbox = t[1:5]
+                live = o > thresh
+                best = float(np.max(detect.box_iou(b[live], tbox))) if live.any() else 0.0
+                avg_iou += best
+                if best > iou_thresh:
+                    tp += 1
+        row = F1Row(thresh, tp, tp_fp, tp_fn, avg_iou / max(tp_fn, 1))
+        rows.append(row)
+        if verbose:
+            print(
+                f"thresh {thresh:.1f}: recall {row.recall:.2f} "
+                f"precision {row.precision:.2f} F1 {row.f1:.2f} "
+                f"(TP {tp} / TP_FP {tp_fp} / TP_FN {tp_fn})"
+            )
+    return rows
+
+
+def recall_eval(
+    engine, list_file: str, thresh: float = 0.25, iou_thresh: float = 0.5,
+    nms: float = 0.4, max_images: int | None = None,
+) -> dict:
+    """Proposals / IoU / recall per validate_detector_recall (detector.c:647-758)."""
+    paths = read_image_list(list_file)
+    if max_images:
+        paths = paths[:max_images]
+    total = correct = proposals = 0
+    iou_sum = 0.0
+    for p in paths:
+        boxes, obj, _ = _predict_image(engine, p)
+        keep = obj > thresh
+        b, o = boxes[keep], obj[keep]
+        b, o, _ = detect.nms_obj(b, o, np.zeros((len(o), 1)), nms)
+        live = o > thresh
+        proposals += int(live.sum())
+        for t in read_boxes(label_path_for(p)):
+            total += 1
+            if live.any():
+                best = float(np.max(detect.box_iou(b[live], t[1:5])))
+            else:
+                best = 0.0
+            iou_sum += best
+            if best > iou_thresh:
+                correct += 1
+    return {
+        "recall": 100.0 * correct / max(total, 1),
+        "avg_iou": 100.0 * iou_sum / max(total, 1),
+        "proposals_per_image": proposals / max(len(paths), 1),
+        "total_truths": total,
+    }
