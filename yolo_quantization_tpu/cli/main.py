@@ -1,0 +1,300 @@
+"""Command-line entry points, succeeding the darknet CLI (examples/darknet.c:220,
+examples/detector.c:952-997):
+
+  python -m yolo_quantization_tpu.cli train  --cfg CFG --train-list L [...]
+  python -m yolo_quantization_tpu.cli detect --cfg CFG --weights W --image IMG
+  python -m yolo_quantization_tpu.cli f1     --cfg CFG --weights W --test-list L
+  python -m yolo_quantization_tpu.cli export --cfg CFG --ckpt DIR --out W
+  python -m yolo_quantization_tpu.cli bench
+
+Models come from darknet cfg files (models/cfg.py) or the built-in zoo
+(--model yolov3-tiny|yolov3); weights from darknet .weights files
+(models/darknet_weights.py) or Orbax checkpoints (train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_model(args):
+    from yolo_quantization_tpu.models import cfg as cfgmod
+    from yolo_quantization_tpu.models import zoo
+    from yolo_quantization_tpu.train.qat import TrainConfig
+
+    if args.cfg:
+        return cfgmod.load_cfg(args.cfg)
+    size = getattr(args, "size", 416)
+    classes = getattr(args, "classes", 5)
+    if args.model == "yolov3-tiny":
+        return zoo.yolov3_tiny(classes=classes, width=size, height=size), TrainConfig()
+    if args.model == "yolov3":
+        return zoo.yolov3(classes=classes, width=size, height=size), TrainConfig()
+    raise SystemExit(f"unknown model {args.model!r}; pass --cfg or --model")
+
+
+def _engine_from(args, net):
+    """Integer engine when quant ranges exist; float engine otherwise
+    (the reference's close_quantization fallback, examples/detector.c:986)."""
+    from yolo_quantization_tpu.infer.convert import convert
+    from yolo_quantization_tpu.infer.engine import Engine
+    from yolo_quantization_tpu.infer.float_engine import FloatEngine
+
+    force_float = getattr(args, "float", False)
+
+    def build(params, qs):
+        has_ranges = qs is not None and any(
+            k.startswith("act_") and float(st["max"]) != float(st["min"])
+            for k, st in qs.items()
+        )
+        if force_float or not has_ranges:
+            print("running FLOAT inference (no quant ranges or --float given)")
+            return FloatEngine(net, params)
+        return Engine(convert(net, params, qs))
+
+    if args.weights:
+        from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
+
+        ckpt = load_darknet_weights(args.weights, net)
+        return build(ckpt.params, ckpt.quant_state)
+    if args.ckpt:
+        from yolo_quantization_tpu.train.checkpoint import restore_checkpoint
+        from yolo_quantization_tpu.train.qat import TrainConfig, init_train_state
+        import jax
+
+        template = init_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+        state = restore_checkpoint(args.ckpt, template)
+        return build(state.params, state.quant_state)
+    raise SystemExit("need --weights (darknet) or --ckpt (orbax)")
+
+
+def cmd_train(args):
+    import jax
+    import numpy as np
+
+    from yolo_quantization_tpu.data.loader import BatchLoader
+    from yolo_quantization_tpu.data.voc import AugmentConfig, DetectionDataset
+    from yolo_quantization_tpu.parallel import mesh as pmesh
+    from yolo_quantization_tpu.train import checkpoint as ckpt
+    from yolo_quantization_tpu.train.qat import Trainer
+
+    net, tcfg = _load_model(args)
+    if args.batch_size:
+        tcfg = type(tcfg)(**{**tcfg.__dict__, "batch_size": args.batch_size})
+    if args.max_batches:
+        tcfg = type(tcfg)(**{**tcfg.__dict__, "max_batches": args.max_batches})
+    if args.quant_start is not None:
+        tcfg = type(tcfg)(**{**tcfg.__dict__, "quant_start_step": args.quant_start})
+
+    trainer = Trainer(net, tcfg)
+    start = 0
+    if args.resume and ckpt.latest_step(args.backup_dir) is not None:
+        trainer.state = ckpt.restore_checkpoint(args.backup_dir, trainer.state)
+        start = int(trainer.state.step)
+        print(f"resumed from step {start}")
+
+    ds = DetectionDataset(args.train_list, net.width, net.height, augment=True)
+    loader = BatchLoader(ds, tcfg.batch_size, workers=args.workers)
+    mesh = pmesh.make_mesh() if args.data_parallel else None
+    print(
+        f"training {len(net.specs)}-layer net at {net.width}x{net.height}, "
+        f"batch {tcfg.batch_size}, {len(ds)} images, "
+        f"{'DP over ' + str(mesh.devices.size) + ' devices' if mesh else 'single device'}"
+    )
+    avg_loss = None
+    try:
+        for step in range(start, tcfg.max_batches):
+            images, truths = loader.next()
+            t0 = time.time()
+            if mesh:
+                with mesh:
+                    images, truths = pmesh.shard_batch(mesh, images, truths)
+                    metrics = trainer.step(images, truths)
+            else:
+                metrics = trainer.step(images, truths)
+            loss = float(metrics["loss"])
+            avg_loss = loss if avg_loss is None else 0.9 * avg_loss + 0.1 * loss
+            # per-batch line, reference examples/detector.c:131
+            print(
+                f"{step + 1}: loss {loss:.4f}, avg {avg_loss:.4f}, "
+                f"lr {float(metrics['lr']):.6f}, {time.time() - t0:.2f}s, "
+                f"{(step + 1) * tcfg.batch_size} images"
+            )
+            if ckpt.checkpoint_cadence(step + 1):
+                ckpt.save_checkpoint(args.backup_dir, trainer.state)
+                print(f"checkpointed step {step + 1} -> {args.backup_dir}")
+    finally:
+        loader.close()
+    ckpt.save_checkpoint(args.backup_dir, trainer.state)
+    print("training done")
+
+
+def cmd_detect(args):
+    import numpy as np
+
+    from yolo_quantization_tpu.data.image import letterbox, load_image_rgb
+    from yolo_quantization_tpu.eval import detect as D
+
+    net, _ = _load_model(args)
+    engine = _engine_from(args, net)
+    im = load_image_rgb(args.image)
+    h, w, _ = im.shape
+    t0 = time.time()
+    x = letterbox(im, net.width, net.height)
+    boxes, obj, cls = engine.predict(x[None])
+    boxes = D.correct_boxes(boxes[0], w, h, net.width, net.height)
+    obj, cls = obj[0], cls[0]
+    keep = obj > args.thresh
+    b, o, c = D.nms_obj(boxes[keep], obj[keep], cls[keep], args.nms)
+    print(f"{args.image}: predicted in {time.time() - t0:.3f}s")
+    names = None
+    if args.names:
+        with open(args.names) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    for i in range(len(o)):
+        if o[i] <= args.thresh:
+            continue
+        probs = o[i] * c[i]
+        ci = int(np.argmax(probs))
+        label = names[ci] if names and ci < len(names) else f"class{ci}"
+        print(
+            f"  {label}: {100 * probs[ci]:.0f}%  "
+            f"box(x={b[i, 0]:.3f} y={b[i, 1]:.3f} w={b[i, 2]:.3f} h={b[i, 3]:.3f})"
+        )
+    if args.out:
+        _draw(im, b, o, args.thresh, args.out)
+        print(f"  wrote {args.out}")
+
+
+def _draw(im, boxes, obj, thresh, out_path):
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray((im * 255).astype(np.uint8))
+    d = ImageDraw.Draw(img)
+    h, w = im.shape[:2]
+    for i in range(len(obj)):
+        if obj[i] <= thresh:
+            continue
+        x, y, bw, bh = boxes[i]
+        d.rectangle(
+            [(x - bw / 2) * w, (y - bh / 2) * h, (x + bw / 2) * w, (y + bh / 2) * h],
+            outline=(255, 60, 40),
+            width=3,
+        )
+    img.save(out_path)
+
+
+def cmd_f1(args):
+    from yolo_quantization_tpu.eval.f1 import f1_sweep
+
+    net, _ = _load_model(args)
+    engine = _engine_from(args, net)
+    rows = f1_sweep(
+        engine, args.test_list, max_images=args.max_images, verbose=True
+    )
+    best = max(rows, key=lambda r: r.f1)
+    print(
+        f"best: thresh {best.thresh:.1f} recall {best.recall:.2f} "
+        f"precision {best.precision:.2f} F1 {best.f1:.2f}"
+    )
+    if args.out:
+        with open(args.out, "a") as f:
+            for r in rows:
+                f.write(
+                    f"thresh = {r.thresh:.6f}, recall = {r.recall:.6f}, "
+                    f"precison = {r.precision:.6f}, f1 score = {r.f1:.6f}\n"
+                )
+
+
+def cmd_export(args):
+    """Orbax checkpoint -> darknet .weights (with quant extension)."""
+    import jax
+
+    from yolo_quantization_tpu.models.darknet_weights import save_darknet_weights
+    from yolo_quantization_tpu.train import checkpoint as ckpt
+    from yolo_quantization_tpu.train.qat import TrainConfig, init_train_state
+
+    net, _ = _load_model(args)
+    template = init_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+    state = ckpt.restore_checkpoint(args.ckpt, template)
+    qs = state.quant_state if float(state.quant_state["input"]["max"]) != 0 else None
+    save_darknet_weights(
+        args.out, net,
+        {i: {k: v for k, v in p.items()} for i, p in state.params.items()},
+        qs, seen=int(state.step),
+    )
+    print(f"wrote {args.out} (quantized={qs is not None}, seen={int(state.step)})")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="yolo_quantization_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, weights=True):
+        sp.add_argument("--cfg", help="darknet cfg file")
+        sp.add_argument("--model", default="yolov3-tiny", help="zoo model name")
+        sp.add_argument("--size", type=int, default=416)
+        sp.add_argument("--classes", type=int, default=5)
+        if weights:
+            sp.add_argument("--weights", help="darknet .weights file")
+            sp.add_argument("--ckpt", help="orbax checkpoint dir")
+            sp.add_argument("--float", action="store_true",
+                            help="force float inference (close_quantization)")
+
+    sp = sub.add_parser("train", help="QAT training")
+    common(sp, weights=False)
+    sp.add_argument("--train-list", required=True)
+    sp.add_argument("--backup-dir", default="backup")
+    sp.add_argument("--batch-size", type=int)
+    sp.add_argument("--max-batches", type=int)
+    sp.add_argument("--workers", type=int, default=8)
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--quant-start", type=int,
+                    help="override start_quantization_step")
+    sp.add_argument("--data-parallel", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("detect", help="single-image quantized inference")
+    common(sp)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--thresh", type=float, default=0.5)
+    sp.add_argument("--nms", type=float, default=0.45)
+    sp.add_argument("--names", help="class names file")
+    sp.add_argument("--out", help="write annotated image here")
+    sp.set_defaults(fn=cmd_detect)
+
+    sp = sub.add_parser("f1", help="F1 sweep eval (reference detector f1)")
+    common(sp)
+    sp.add_argument("--test-list", required=True)
+    sp.add_argument("--max-images", type=int)
+    sp.add_argument("--out", help="append results file (test_quant.txt style)")
+    sp.set_defaults(fn=cmd_f1)
+
+    sp = sub.add_parser("export", help="orbax ckpt -> darknet .weights")
+    common(sp, weights=False)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("bench", help="run the TPU benchmark")
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

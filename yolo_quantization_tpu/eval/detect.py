@@ -157,6 +157,7 @@ def top_k_detections(boxes, obj, cls, max_det: int = 256):
     by objectness, which is exact as long as max_det exceeds the number of
     above-threshold boxes (guaranteed for the eval thresholds used).
     """
+    max_det = min(max_det, obj.shape[1])  # small feature maps at low input sizes
     val, idx = jax.lax.top_k(obj, max_det)
     return (
         jnp.take_along_axis(boxes, idx[..., None], axis=1),

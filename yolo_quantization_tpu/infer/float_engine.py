@@ -1,0 +1,56 @@
+"""Float inference engine — the reference's close_quantization fallback.
+
+Mode 4 of the capability matrix (SURVEY.md): run the graph in float (BN
+rolling stats, no fake-quant), same predict() API as the integer Engine.
+Used for float checkpoints (no learned quant ranges yet) and as the accuracy
+reference when validating quantization (the float row of README.md:57).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_quantization_tpu.eval import detect
+from yolo_quantization_tpu.nn.graph import ForwardMode, NetworkDef, forward
+
+
+class FloatEngine:
+    def __init__(self, net: NetworkDef, params, max_det: int = 256):
+        self.net = net
+        self.max_det = max_det
+        self.params = jax.device_put(
+            {i: {k: np.asarray(v) for k, v in p.items()} for i, p in params.items()}
+        )
+
+        @jax.jit
+        def _run(params, x):
+            heads, _ = forward(net, params, x, ForwardMode())
+            boxes, obj, cls = detect.decode_all_heads(heads, net)
+            return detect.top_k_detections(boxes, obj, cls, max_det)
+
+        self._run = _run
+
+    @property
+    def program(self):  # duck-type Engine for eval harnesses
+        class _P:
+            net = self.net
+
+        return _P()
+
+    def predict(self, images: np.ndarray):
+        net = self.net
+        if images.shape[1:] != (net.height, net.width, net.channels):
+            raise ValueError(
+                f"engine expects {(net.height, net.width, net.channels)} images, "
+                f"got {images.shape[1:]}"
+            )
+        boxes, obj, cls = self._run(self.params, jnp.asarray(images))
+        return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
+
+    def raw_heads(self, images: np.ndarray):
+        heads, _ = jax.jit(
+            lambda p, x: forward(self.net, p, x, ForwardMode())
+        )(self.params, jnp.asarray(images))
+        return [np.asarray(h) for h in heads]
