@@ -93,13 +93,17 @@ class TestQATForward:
 
 
 class TestIntegerEngineParity:
-    def test_engine_matches_qat_simulation(self, tiny_with_ranges):
+    @pytest.mark.parametrize("symmetric", [True, False])
+    def test_engine_matches_qat_simulation(self, tiny_with_ranges, symmetric):
         net, params, qs = tiny_with_ranges
         x = jax.random.uniform(jax.random.PRNGKey(3), (1, 160, 160, 3))
         sim_heads, _ = forward(
-            net, params, x, ForwardMode(train=False, qat=True, update_ranges=False), qs
+            net, params, x,
+            ForwardMode(train=False, qat=True, update_ranges=False,
+                        symmetric_w=symmetric),
+            qs,
         )
-        program = convert(net, params, qs)
+        program = convert(net, params, qs, symmetric_weights=symmetric)
         engine = Engine(program)
         int_heads = engine.raw_heads(np.asarray(x))
         for sim, integer, idx in zip(sim_heads, int_heads, (15, 22)):

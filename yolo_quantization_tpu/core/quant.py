@@ -171,6 +171,32 @@ def _fq_pc_bwd(mask, g):
 fake_quant_per_channel.defvjp(_fq_pc_fwd, _fq_pc_bwd)
 
 
+@jax.custom_vjp
+def fake_quant_symmetric_per_channel(x: jax.Array) -> jax.Array:
+    """Symmetric per-channel (last axis) weight fake-quant: scale = max|x|/127.
+
+    The QAT twin of infer/convert.py's symmetric_weights=True scheme
+    (TFLite-style signed-int8 weights, zero point 0).  Straight-through
+    gradient; the clamp at +-max|x| is vacuous so no gating is needed.
+    """
+    out, _ = _fq_sym_fwd(x)
+    return out
+
+
+def _fq_sym_fwd(x):
+    absmax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+    scale = jnp.where(absmax > 0, absmax, 1.0) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127)
+    return q * scale, None
+
+
+def _fq_sym_bwd(_, g):
+    return (g,)
+
+
+fake_quant_symmetric_per_channel.defvjp(_fq_sym_fwd, _fq_sym_bwd)
+
+
 # ---------------------------------------------------------------------------
 # EMA range tracking (activation statistics during QAT).
 # ---------------------------------------------------------------------------

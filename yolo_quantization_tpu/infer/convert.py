@@ -67,6 +67,7 @@ class QuantizedLayerCfg:
     # qconv extras
     act: int = 0
     quant_stop: bool = False
+    symmetric_w: bool = False  # all weight zero-points == 128 (0 shifted)
     # route extras: per-branch (identity, ratio, zp_in) — ratio = s_in/s_out
     branches: tuple = ()
     # shortcut extras
@@ -90,8 +91,22 @@ class IntProgram:
     meta: dict = field(default_factory=dict)
 
 
-def convert(net: NetworkDef, params, quant_state) -> IntProgram:
-    """Build the integer program from float params + learned ranges."""
+def convert(
+    net: NetworkDef, params, quant_state, *, symmetric_weights: bool = True
+) -> IntProgram:
+    """Build the integer program from float params + learned ranges.
+
+    ``symmetric_weights=True`` (default, TPU-first) quantizes weights
+    symmetrically per channel: scale = max|w| / 127, zero point fixed at 128
+    in uint8 codes (0 after the int8 shift).  This kills the data-dependent
+    zero-point cross term -zw[o]*patchsum(x) of Jacob et al. eq. 7, so the
+    engine runs ONE int8 conv per layer instead of two — the standard
+    TFLite/production scheme.  Activations stay asymmetric uint8.
+
+    ``symmetric_weights=False`` reproduces the reference's fully-asymmetric
+    weight quantization (src/blas.c:108-168) for byte-parity with darknet
+    checkpoint files.
+    """
     params = {k: {n: np.asarray(v) for n, v in p.items()} for k, p in params.items()}
     qs = {k: {n: float(v) for n, v in st.items()} for k, st in quant_state.items()}
 
@@ -116,18 +131,28 @@ def convert(net: NetworkDef, params, quant_state) -> IntProgram:
             else:
                 bias = p["bias"].astype(np.float64)
 
-            # per-channel weight quantization (reference src/blas.c:108-168)
-            w_min = np.minimum(w.min(axis=(0, 1, 2)), 0.0)
-            w_max = np.maximum(w.max(axis=(0, 1, 2)), 0.0)
-            rngs = np.where(w_max - w_min > 0, w_max - w_min, 1.0)
-            s_w = rngs / (QUANT_MAX - QUANT_MIN)
-            zp_w = np.clip(np.round(-w_min / s_w), QUANT_MIN, QUANT_MAX).astype(np.int64)
-            w_u8 = np.clip(
-                np.round(w / s_w.reshape(1, 1, 1, -1)) + zp_w.reshape(1, 1, 1, -1),
-                QUANT_MIN,
-                QUANT_MAX,
-            ).astype(np.int64)
-            w_i8 = (w_u8 - 128).astype(np.int8)
+            if symmetric_weights:
+                # symmetric per-channel: scale = max|w|/127, zp = 128 (u8)
+                absmax = np.abs(w).max(axis=(0, 1, 2))
+                s_w = np.where(absmax > 0, absmax, 1.0) / 127.0
+                zp_w = np.full(w.shape[-1], 128, np.int64)
+                w_i8 = np.clip(
+                    np.round(w / s_w.reshape(1, 1, 1, -1)), -127, 127
+                ).astype(np.int8)
+                w_u8 = w_i8.astype(np.int64) + 128
+            else:
+                # per-channel asymmetric (reference src/blas.c:108-168)
+                w_min = np.minimum(w.min(axis=(0, 1, 2)), 0.0)
+                w_max = np.maximum(w.max(axis=(0, 1, 2)), 0.0)
+                rngs = np.where(w_max - w_min > 0, w_max - w_min, 1.0)
+                s_w = rngs / (QUANT_MAX - QUANT_MIN)
+                zp_w = np.clip(np.round(-w_min / s_w), QUANT_MIN, QUANT_MAX).astype(np.int64)
+                w_u8 = np.clip(
+                    np.round(w / s_w.reshape(1, 1, 1, -1)) + zp_w.reshape(1, 1, 1, -1),
+                    QUANT_MIN,
+                    QUANT_MAX,
+                ).astype(np.int64)
+                w_i8 = (w_u8 - 128).astype(np.int8)
 
             s_in, zp_in = cur_qp
             so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
@@ -165,6 +190,7 @@ def convert(net: NetworkDef, params, quant_state) -> IntProgram:
                     out_zp=zo,
                     act=ACTIVATION_BY_NAME[s.activation],
                     quant_stop=s.quant_stop,
+                    symmetric_w=symmetric_weights,
                 )
             )
             cur_qp = (so, zo)

@@ -57,6 +57,7 @@ def build_forward(program: IntProgram):
                 y = qconv.quantized_conv2d(
                     x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"], a["w_zp"],
                     a["out_zp"], stride=s.stride, pad=s.pad, act=c.act,
+                    symmetric=c.symmetric_w,
                 )
                 if c.quant_stop:
                     y = (y.astype(jnp.float32) - c.out_zp) * c.out_scale

@@ -29,6 +29,7 @@ from yolo_quantization_tpu.core.quant import (
     ema_update,
     fake_quant,
     fake_quant_per_channel,
+    fake_quant_symmetric_per_channel,
 )
 from yolo_quantization_tpu.nn import layers as L
 
@@ -222,6 +223,8 @@ class ForwardMode:
     train: bool = False        # BN batch stats (+ stats aux out)
     qat: bool = False          # fake-quant weights + activations
     update_ranges: bool = False  # EMA-update quant ranges (training only)
+    symmetric_w: bool = True   # weight fake-quant scheme; must match the
+                               # convert(symmetric_weights=...) used at export
 
 
 def _conv_forward(
@@ -256,9 +259,12 @@ def _conv_forward(
         w_folded, bias = p["w"], p["bias"]
 
     if mode.qat and s.quantized:
-        w_min = jnp.min(w_folded, axis=(0, 1, 2))
-        w_max = jnp.max(w_folded, axis=(0, 1, 2))
-        w_used = fake_quant_per_channel(w_folded, w_min, w_max)
+        if mode.symmetric_w:
+            w_used = fake_quant_symmetric_per_channel(w_folded)
+        else:
+            w_min = jnp.min(w_folded, axis=(0, 1, 2))
+            w_max = jnp.max(w_folded, axis=(0, 1, 2))
+            w_used = fake_quant_per_channel(w_folded, w_min, w_max)
     else:
         w_used = w_folded
 

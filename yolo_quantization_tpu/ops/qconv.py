@@ -60,6 +60,7 @@ def conv_acc_int32(
     w_zp_i32: jax.Array,
     stride: int,
     pad: int,
+    symmetric: bool = False,
 ) -> jax.Array:
     """int32 accumulator of sum (x - zx)(w - zw[o]) over each conv window.
 
@@ -92,6 +93,9 @@ def conv_acc_int32(
         dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
+    if symmetric:
+        # weight zero points are all 0 in the int8 domain: no cross term
+        return acc
     # patchsum[n,y,x] = sum of the input window — ones-kernel conv, O=1.
     ones = jnp.ones(w_i8.shape[:3] + (1,), jnp.int8)
     patchsum = lax.conv_general_dilated(
@@ -132,7 +136,7 @@ def requant_activate(
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "act"))
+@partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric"))
 def quantized_conv2d(
     x_u8: jax.Array,
     w_i8: jax.Array,
@@ -145,14 +149,19 @@ def quantized_conv2d(
     stride: int = 1,
     pad: int = 0,
     act: int = ACT_LINEAR,
+    symmetric: bool = False,
 ) -> jax.Array:
     """Full integer conv layer: uint8 in -> uint8 out.
 
     ``w_i8`` are pre-shifted int8 weights (conversion-time), ``bias_i32`` the
     fully folded bias (float bias / (S1*S2) plus the static zero-point terms),
     ``m`` the per-channel requant multiplier S1*S2/S3 as float32.
+    ``symmetric`` statically elides the weight zero-point correction conv
+    (see infer/convert.py symmetric_weights).
     """
-    acc = conv_acc_int32(u8_to_i8(x_u8), w_i8, x_zp_i32, w_zp_i32, stride, pad)
+    acc = conv_acc_int32(
+        u8_to_i8(x_u8), w_i8, x_zp_i32, w_zp_i32, stride, pad, symmetric
+    )
     return requant_activate(acc, bias_i32, m, out_zp, act)
 
 
