@@ -37,12 +37,19 @@ def _requant_u8(x_u8: jax.Array, ratio: float, zp_in: int, zp_out: int) -> jax.A
     return jnp.clip(v, 0, 255).astype(jnp.uint8)
 
 
-def build_forward(program: IntProgram):
+def build_forward(program: IntProgram, use_pallas: bool = False):
     """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
 
     The layer loop is unrolled at trace time (specs are static); XLA fuses
     each conv with its epilogue and the surrounding u8 plumbing.
+
+    ``use_pallas`` routes eligible convs (stride 1, symmetric weights) through
+    the hand-fused Pallas kernel (ops/pallas_qconv.py); other layers keep the
+    XLA path.  Toggle per deployment after benchmarking — the two are
+    bit-identical (tests/test_pallas_qconv.py).
     """
+    from yolo_quantization_tpu.ops.pallas_qconv import pallas_quantized_conv2d
+
     net = program.net
     cfg = program.cfg
 
@@ -54,11 +61,18 @@ def build_forward(program: IntProgram):
             s = c.spec
             if c.kind == "qconv":
                 a = arrays[i]
-                y = qconv.quantized_conv2d(
-                    x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"], a["w_zp"],
-                    a["out_zp"], stride=s.stride, pad=s.pad, act=c.act,
-                    symmetric=c.symmetric_w,
-                )
+                if use_pallas and s.stride == 1 and c.symmetric_w:
+                    y = pallas_quantized_conv2d(
+                        x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
+                        stride=1, pad=s.pad, act=c.act,
+                        out_zp_static=int(c.out_zp),
+                    )
+                else:
+                    y = qconv.quantized_conv2d(
+                        x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"], a["w_zp"],
+                        a["out_zp"], stride=s.stride, pad=s.pad, act=c.act,
+                        symmetric=c.symmetric_w,
+                    )
                 if c.quant_stop:
                     y = (y.astype(jnp.float32) - c.out_zp) * c.out_scale
             elif c.kind == "maxpool":
@@ -100,11 +114,13 @@ class Engine:
     (src/network.c:570-640) without per-layer host transfers.
     """
 
-    def __init__(self, program: IntProgram, max_det: int = 256):
+    def __init__(self, program: IntProgram, max_det: int = 256,
+                 use_pallas: bool = False):
         self.program = program
         self.max_det = max_det
-        self.arrays = jax.tree.map(jnp.asarray, program.arrays)
-        fwd = build_forward(program)
+        self.use_pallas = use_pallas
+        self.arrays = jax.device_put(program.arrays)
+        fwd = build_forward(program, use_pallas=use_pallas)
         net = program.net
 
         @jax.jit
@@ -127,6 +143,6 @@ class Engine:
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 
     def raw_heads(self, images: np.ndarray):
-        fwd = build_forward(self.program)
+        fwd = build_forward(self.program, use_pallas=self.use_pallas)
         heads = jax.jit(fwd)(self.arrays, jnp.asarray(images))
         return [np.asarray(h) for h in heads]

@@ -1,0 +1,159 @@
+"""Pallas fused uint8 conv kernel: int8 MXU matmuls + requant epilogue in VMEM.
+
+The hand-scheduled counterpart of ops/qconv.py (which lets XLA lower
+lax.conv_general_dilated).  One kernel does, per (image, row-tile,
+out-channel-tile) grid cell:
+
+  - K*K int8 dot_generals accumulating into an int32 tile (implicit GEMM:
+    the im2col of the reference src/im2col.c never materializes; each kernel
+    tap is a shifted (rows, Cin) x (Cin, Co) MXU matmul over the VMEM-resident
+    padded input)
+  - fused epilogue while the tile is still in VMEM: int32 bias add,
+    per-channel f32 requant multiply (M = S1*S2/S3), quantized
+    leaky/relu/relu6/linear activation, output zero point, clamp, uint8 store
+    (the reference's src/convolutional_layer.c:726-750 epilogue, which there
+    is a separate full-tensor CPU pass)
+
+Scope: stride-1 convs with symmetric weights (the default TPU scheme, see
+infer/convert.py) — every conv in yolov3-tiny.  Strided or asymmetric layers
+fall back to the XLA path; infer/engine.py dispatches per layer.
+
+Layout notes (pallas_guide.md): int8 tiles are (32, 128); row-tiles are chosen
+so rows = TH*W_out is a multiple of 32 where possible and the lane dim is the
+output-channel tile (<=128 channels per grid step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from yolo_quantization_tpu.ops.qconv import (
+    ACT_LEAKY,
+    ACT_LINEAR,
+    ACT_RELU,
+    ACT_RELU6,
+    u8_to_i8,
+)
+
+
+def _row_tile(w_out: int, h_out: int) -> int:
+    """Pick TH so the GEMM row dim TH*w_out lands near 4096 and tiles by 32."""
+    if h_out * w_out <= 4096:
+        return h_out
+    th = max(1, 4096 // w_out)
+    while th > 1 and (th * w_out) % 32 != 0 and h_out % th != 0:
+        th -= 1
+    return th
+
+
+def _qconv_kernel(
+    x_ref,      # (1, Hp, Wp, Ci) int8, whole padded image (VMEM)
+    w_ref,      # (K, K, Ci, TCO) int8
+    bias_ref,   # (TCO,) int32
+    m_ref,      # (TCO,) float32
+    out_ref,    # (1, TH, Wo, TCO) uint8
+    *,
+    k: int,
+    th: int,
+    w_out: int,
+    act: int,
+    out_zp: int,
+):
+    i = pl.program_id(1)  # row-tile index
+    ci = x_ref.shape[3]
+    tco = out_ref.shape[3]
+    acc = jnp.zeros((th * w_out, tco), jnp.int32)
+    for dy in range(k):
+        for dx in range(k):
+            xs = x_ref[0, pl.ds(i * th + dy, th), pl.ds(dx, w_out), :]
+            xs = xs.reshape(th * w_out, ci)
+            wv = w_ref[dy, dx, :, :]
+            acc = acc + lax.dot_general(
+                xs,
+                wv,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    v = jnp.round(
+        (acc + bias_ref[:].reshape(1, tco)).astype(jnp.float32)
+        * m_ref[:].reshape(1, tco)
+    )
+    if act == ACT_LEAKY:
+        v = jnp.where(v < 0, jnp.round(v * 0.1), v)
+    elif act in (ACT_RELU, ACT_RELU6):
+        v = jnp.maximum(v, 0.0)
+    v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.uint8)
+    out_ref[0, :, :, :] = v.reshape(th, w_out, tco)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "pad", "act", "out_zp_static", "interpret"),
+)
+def pallas_quantized_conv2d(
+    x_u8: jax.Array,
+    w_i8: jax.Array,
+    bias_i32: jax.Array,
+    m: jax.Array,
+    x_zp_i32: jax.Array,
+    *,
+    stride: int = 1,
+    pad: int = 0,
+    act: int = ACT_LINEAR,
+    out_zp_static: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused uint8 conv (symmetric weights, stride 1).  Same math as
+    ops.qconv.quantized_conv2d(symmetric=True) — bit-identical up to the f32
+    rounding already shared by both paths."""
+    if stride != 1:
+        raise NotImplementedError("pallas path covers stride-1; use XLA fallback")
+    n, h, w, ci = x_u8.shape
+    k, _, _, co = w_i8.shape
+    h_out = h + 2 * pad - k + 1
+    w_out = w + 2 * pad - k + 1
+
+    x_i8 = u8_to_i8(x_u8)
+    if pad:
+        x_i8 = jnp.pad(
+            x_i8,
+            ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+            constant_values=x_zp_i32.astype(jnp.int8),
+        )
+
+    th = _row_tile(w_out, h_out)
+    tco = min(co, 128)
+    grid = (n, pl.cdiv(h_out, th), pl.cdiv(co, tco))
+
+    kernel = functools.partial(
+        _qconv_kernel, k=k, th=th, w_out=w_out, act=act, out_zp=out_zp_static
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, x_i8.shape[1], x_i8.shape[2], ci),
+                lambda nn, ii, jj: (nn, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, k, ci, tco), lambda nn, ii, jj: (0, 0, 0, jj),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tco,), lambda nn, ii, jj: (jj,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tco,), lambda nn, ii, jj: (jj,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_out, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, co), jnp.uint8),
+        interpret=interpret,
+    )(x_i8, w_i8, bias_i32, m)
