@@ -22,9 +22,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from yolo_quantization_tpu.data.image import letterbox, load_image_rgb
+from yolo_quantization_tpu.data.image import load_image_rgb
 from yolo_quantization_tpu.data.voc import label_path_for, read_boxes, read_image_list
 from yolo_quantization_tpu.eval import detect
+from yolo_quantization_tpu.utils import native
 
 
 @dataclass
@@ -53,7 +54,7 @@ def _predict_image(engine, path: str):
     im = load_image_rgb(path)
     h, w, _ = im.shape
     net = engine.program.net
-    x = letterbox(im, net.width, net.height)
+    x = native.letterbox(im, net.width, net.height)
     boxes, obj, cls = engine.predict(x[None])
     boxes = detect.correct_boxes(boxes[0], w, h, net.width, net.height)
     return boxes, obj[0], cls[0]
@@ -86,16 +87,15 @@ def f1_sweep(
             # get_network_boxes keeps objectness > thresh (yolo_layer.c:275-343)
             keep = obj > thresh
             b, o = boxes[keep], obj[keep]
-            b, o, _ = detect.nms_obj(b, o, np.zeros((len(o), 1)), nms)
+            b, o, _ = native.nms_obj(b, o, np.zeros((len(o), 1), np.float32), nms)
             tp_fp += len(o)  # includes NMS-zeroed entries (detector.c:839-841)
-            for t in truths:
-                tp_fn += 1
-                tbox = t[1:5]
-                live = o > thresh
-                best = float(np.max(detect.box_iou(b[live], tbox))) if live.any() else 0.0
-                avg_iou += best
-                if best > iou_thresh:
-                    tp += 1
+            if len(truths):
+                n_tp, iou_acc = native.match_truths(
+                    b, o, truths[:, 1:5], thresh, iou_thresh
+                )
+                tp += n_tp
+                tp_fn += len(truths)
+                avg_iou += iou_acc
         row = F1Row(thresh, tp, tp_fp, tp_fn, avg_iou / max(tp_fn, 1))
         rows.append(row)
         if verbose:
@@ -121,7 +121,7 @@ def recall_eval(
         boxes, obj, _ = _predict_image(engine, p)
         keep = obj > thresh
         b, o = boxes[keep], obj[keep]
-        b, o, _ = detect.nms_obj(b, o, np.zeros((len(o), 1)), nms)
+        b, o, _ = native.nms_obj(b, o, np.zeros((len(o), 1), np.float32), nms)
         live = o > thresh
         proposals += int(live.sum())
         for t in read_boxes(label_path_for(p)):
