@@ -1,0 +1,138 @@
+"""Continuous-batching inference server.
+
+The production serving layer over infer/engine.py: callers submit single
+images (any size) and get detection futures; a batcher thread letterboxes on
+host worker threads, groups requests into fixed batch buckets (static shapes
+=> one compiled program per bucket, no recompiles), runs the device, and
+resolves futures with decoded, NMS'd detections.
+
+The reference has no serving path — its closest analog is the single-image
+test loop (examples/detector.c:878-950).  This is the "multi-host streaming /
+continuous image batching" capability called for by BASELINE.json; multi-host
+sharding composes by giving each host its own Server over its local devices
+(data-parallel serving), since YOLO inference is embarrassingly parallel
+across images.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass
+
+import numpy as np
+
+from yolo_quantization_tpu.eval import detect
+from yolo_quantization_tpu.utils import native
+
+
+@dataclass
+class Detection:
+    box: np.ndarray       # (4,) center-format, relative to the ORIGINAL image
+    objectness: float
+    class_probs: np.ndarray
+
+
+@dataclass
+class _Request:
+    image: np.ndarray     # original HWC float32
+    future: Future
+    thresh: float
+    nms: float
+    enqueue_time: float = 0.0
+
+
+class Server:
+    """Continuous batching over a quantized (or float) Engine.
+
+    submit() is thread-safe and non-blocking; the returned Future resolves to
+    a list[Detection].  max_delay_ms bounds added latency: a partial batch is
+    flushed when the oldest request has waited that long.
+    """
+
+    def __init__(
+        self,
+        engine,
+        batch_size: int = 16,
+        max_delay_ms: float = 5.0,
+        preprocess_workers: int = 4,
+    ):
+        self.engine = engine
+        self.net = engine.program.net
+        self.batch_size = batch_size
+        self.max_delay = max_delay_ms / 1e3
+        self._q: queue.Queue[_Request] = queue.Queue()
+        self._pre = ThreadPoolExecutor(max_workers=preprocess_workers)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.stats = {"batches": 0, "images": 0, "batch_fill_sum": 0.0}
+
+    def submit(self, image: np.ndarray, thresh: float = 0.5, nms: float = 0.45) -> Future:
+        fut: Future = Future()
+        req = _Request(image=image, future=fut, thresh=thresh, nms=nms,
+                       enqueue_time=time.monotonic())
+        self._q.put(req)
+        return fut
+
+    def _gather_batch(self) -> list[_Request]:
+        reqs: list[_Request] = []
+        try:
+            reqs.append(self._q.get(timeout=0.1))
+        except queue.Empty:
+            return reqs
+        deadline = reqs[0].enqueue_time + self.max_delay
+        while len(reqs) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                reqs.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return reqs
+
+    def _loop(self):
+        while not self._stop.is_set():
+            reqs = self._gather_batch()
+            if not reqs:
+                continue
+            try:
+                self._run_batch(reqs)
+            except Exception as e:  # resolve futures with the error
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, reqs: list[_Request]):
+        net = self.net
+        # parallel host-side letterbox (native C++ when available)
+        letterboxed = list(
+            self._pre.map(lambda r: native.letterbox(r.image, net.width, net.height), reqs)
+        )
+        # pad to the fixed bucket so there is exactly one compiled shape
+        batch = np.zeros((self.batch_size, net.height, net.width, 3), np.float32)
+        for i, x in enumerate(letterboxed):
+            batch[i] = x
+        boxes, obj, cls = self.engine.predict(batch)
+        self.stats["batches"] += 1
+        self.stats["images"] += len(reqs)
+        self.stats["batch_fill_sum"] += len(reqs) / self.batch_size
+        for i, r in enumerate(reqs):
+            h, w, _ = r.image.shape
+            b = detect.correct_boxes(boxes[i], w, h, net.width, net.height)
+            keep = obj[i] > r.thresh
+            bb, oo, cc = native.nms_obj(b[keep], obj[i][keep], cls[i][keep], r.nms)
+            dets = [
+                Detection(box=bb[j], objectness=float(oo[j]), class_probs=cc[j])
+                for j in np.argsort(-oo)
+                if oo[j] > r.thresh
+            ]
+            r.future.set_result(dets)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._pre.shutdown(wait=False)
