@@ -105,8 +105,18 @@ def cmd_train(args):
         f"{'DP over ' + str(mesh.devices.size) + ' devices' if mesh else 'single device'}"
     )
     avg_loss = None
+    import random as _random
+
+    from yolo_quantization_tpu.train.qat import multiscale_resolutions
+
+    resolutions = multiscale_resolutions() if args.multiscale else None
     try:
         for step in range(start, tcfg.max_batches):
+            if resolutions and step % 10 == 0:
+                dim = _random.choice(resolutions)
+                ds.set_size(dim, dim)
+                if step % 100 == 0:
+                    print(f"resolution -> {dim}")
             images, truths = loader.next()
             t0 = time.time()
             if mesh:
@@ -261,6 +271,8 @@ def build_parser():
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--quant-start", type=int,
                     help="override start_quantization_step")
+    sp.add_argument("--multiscale", action="store_true",
+                    help="random input resolution in {320..608} every 10 batches")
     sp.add_argument("--data-parallel", action="store_true")
     sp.set_defaults(fn=cmd_train)
 

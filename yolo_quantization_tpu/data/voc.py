@@ -208,6 +208,12 @@ class DetectionDataset:
     def __len__(self):
         return len(self.paths)
 
+    def set_size(self, net_w: int, net_h: int) -> None:
+        """Switch target resolution (multi-scale training, examples/detector.c:65-84).
+        Takes effect for subsequently-built batches; in-flight prefetched
+        batches keep the old size, mirroring the reference's behavior."""
+        self.net_w, self.net_h = net_w, net_h
+
     def sample(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         path = self.paths[idx % len(self.paths)]
         im = load_image_rgb(path)

@@ -111,17 +111,38 @@ def convert(
     qs = {k: {n: float(v) for n, v in st.items()} for k, st in quant_state.items()}
 
     in_scale, in_zp = _nudge_np(qs["input"]["min"], qs["input"]["max"])
-    out_qp: list[tuple[float, int]] = []  # per layer (scale, zp) of its output
+    domains = net.output_domains()
+    out_qp: list[tuple[float, int] | None] = []  # (scale, zp) of u8 outputs
     cfg: list[QuantizedLayerCfg] = []
     arrays: dict[int, dict[str, np.ndarray]] = {}
 
-    cur_qp = (in_scale, in_zp)
+    cur_qp: tuple[float, int] | None = (in_scale, in_zp)
     for i, s in enumerate(net.specs):
-        if isinstance(s, ConvSpec):
-            if not s.quantized:
-                raise NotImplementedError(
-                    "mixed float/quant graphs not supported yet (layer %d)" % i
+        in_domain = domains[i - 1] if i > 0 else "u8"
+        if isinstance(s, ConvSpec) and not s.quantized:
+            # float conv: fold BN into f32 weights; engine dequantizes a u8
+            # input with the producer's qp (reference float path,
+            # src/convolutional_layer.c:802-848)
+            p = params[i]
+            w = p["w"].astype(np.float64)
+            if s.batch_normalize:
+                inv = p["gamma"] / (np.sqrt(p["var"]) + BN_EPS)
+                w = w * inv.reshape(1, 1, 1, -1)
+                bias = p["bias"] - p["mean"] * inv
+            else:
+                bias = p["bias"].astype(np.float64)
+            arrays[i] = {"w_f32": w.astype(np.float32), "bias_f32": bias.astype(np.float32)}
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="fconv", spec=s, out_scale=0.0, out_zp=0,
+                    in_scales=((cur_qp if in_domain == "u8" else None),),
                 )
+            )
+            cur_qp = None
+            out_qp.append(None)
+            continue
+
+        if isinstance(s, ConvSpec):
             p = params[i]
             w = p["w"].astype(np.float64)  # HWIO
             if s.batch_normalize:
@@ -154,6 +175,18 @@ def convert(
                 ).astype(np.int64)
                 w_i8 = (w_u8 - 128).astype(np.int8)
 
+            qin = None
+            if in_domain == "f32":
+                # float -> quant boundary: quantize the input with the range
+                # tracked at this boundary during QAT (in_{i} state)
+                key = f"in_{i}"
+                if key not in qs:
+                    raise ValueError(
+                        f"layer {i}: quantized conv after a float layer needs "
+                        f"a tracked input range ({key}) — run QAT calibration"
+                    )
+                qin = _nudge_np(qs[key]["min"], qs[key]["max"])
+                cur_qp = qin
             s_in, zp_in = cur_qp
             so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
 
@@ -191,60 +224,77 @@ def convert(
                     act=ACTIVATION_BY_NAME[s.activation],
                     quant_stop=s.quant_stop,
                     symmetric_w=symmetric_weights,
+                    in_scales=(qin,),
                 )
             )
-            cur_qp = (so, zo)
+            cur_qp = None if s.quant_stop else (so, zo)
 
         elif isinstance(s, (MaxPoolSpec, UpsampleSpec)):
+            # domain-preserving; u8 path inherits the producer's qp exactly
             cfg.append(
                 QuantizedLayerCfg(
                     kind="maxpool" if isinstance(s, MaxPoolSpec) else "upsample",
                     spec=s,
-                    out_scale=cur_qp[0],
-                    out_zp=cur_qp[1],
+                    out_scale=cur_qp[0] if cur_qp else 0.0,
+                    out_zp=cur_qp[1] if cur_qp else 0,
                 )
             )
 
         elif isinstance(s, RouteSpec):
             srcs = [out_qp[j] for j in s.layers]
-            if len(srcs) == 1:
-                so, zo = srcs[0]
-            else:
-                so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
-            branches = []
-            for (sb, zb) in srcs:
-                ratio = sb / so
-                identity = abs(ratio - 1.0) < 1e-9 and zb == zo
-                branches.append((identity, float(ratio), int(zb)))
-            cfg.append(
-                QuantizedLayerCfg(
-                    kind="route",
-                    spec=s,
-                    out_scale=so,
-                    out_zp=zo,
-                    branches=tuple(branches),
+            if domains[i] == "u8":
+                if len(srcs) == 1:
+                    so, zo = srcs[0]
+                else:
+                    so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
+                branches = []
+                for (sb, zb) in srcs:
+                    ratio = sb / so
+                    identity = abs(ratio - 1.0) < 1e-9 and zb == zo
+                    branches.append((identity, float(ratio), int(zb)))
+                cfg.append(
+                    QuantizedLayerCfg(
+                        kind="route", spec=s, out_scale=so, out_zp=zo,
+                        branches=tuple(branches),
+                    )
                 )
-            )
-            cur_qp = (so, zo)
+                cur_qp = (so, zo)
+            else:
+                # mixed/float concat: dequantize u8 branches, concat in f32
+                cfg.append(
+                    QuantizedLayerCfg(
+                        kind="route_f32", spec=s, out_scale=0.0, out_zp=0,
+                        branches=tuple(srcs),  # qp or None per branch
+                    )
+                )
+                cur_qp = None
 
         elif isinstance(s, ShortcutSpec):
             skip_qp = out_qp[s.index]
-            so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
-            cfg.append(
-                QuantizedLayerCfg(
-                    kind="shortcut",
-                    spec=s,
-                    out_scale=so,
-                    out_zp=zo,
-                    in_scales=(cur_qp, skip_qp),
+            if domains[i] == "u8":
+                so, zo = _nudge_np(qs[f"act_{i}"]["min"], qs[f"act_{i}"]["max"])
+                cfg.append(
+                    QuantizedLayerCfg(
+                        kind="shortcut", spec=s, out_scale=so, out_zp=zo,
+                        in_scales=(cur_qp, skip_qp),
+                    )
                 )
-            )
-            cur_qp = (so, zo)
+                cur_qp = (so, zo)
+            else:
+                cfg.append(
+                    QuantizedLayerCfg(
+                        kind="shortcut_f32", spec=s, out_scale=0.0, out_zp=0,
+                        in_scales=(cur_qp, skip_qp),  # qp or None per input
+                    )
+                )
+                cur_qp = None
 
         elif isinstance(s, YoloSpec):
             cfg.append(
                 QuantizedLayerCfg(
-                    kind="yolo", spec=s, out_scale=cur_qp[0], out_zp=cur_qp[1]
+                    kind="yolo", spec=s,
+                    out_scale=cur_qp[0] if cur_qp else 0.0,
+                    out_zp=cur_qp[1] if cur_qp else 0,
                 )
             )
         else:

@@ -61,6 +61,11 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
             s = c.spec
             if c.kind == "qconv":
                 a = arrays[i]
+                if x.dtype != jnp.uint8:
+                    # float -> quant boundary (mixed graphs): quantize the
+                    # input with the QAT-tracked boundary range
+                    qp = c.in_scales[0]
+                    x = _quantize_input(x, qp[0], qp[1])
                 if use_pallas and s.stride == 1 and c.symmetric_w:
                     y = pallas_quantized_conv2d(
                         x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
@@ -75,8 +80,19 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
                     )
                 if c.quant_stop:
                     y = (y.astype(jnp.float32) - c.out_zp) * c.out_scale
+            elif c.kind == "fconv":
+                # float conv (per-layer quantized=0, reference float path)
+                a = arrays[i]
+                if x.dtype == jnp.uint8:
+                    qp = c.in_scales[0]
+                    x = (x.astype(jnp.float32) - qp[1]) * qp[0]
+                y = L.conv2d(x, a["w_f32"], s.stride, s.pad)
+                y = L.activate(y + a["bias_f32"].reshape(1, 1, 1, -1), s.activation)
             elif c.kind == "maxpool":
-                y = L.maxpool_u8(x, s.size, s.stride, s.padding)
+                if x.dtype == jnp.uint8:
+                    y = L.maxpool_u8(x, s.size, s.stride, s.padding)
+                else:
+                    y = L.maxpool(x, s.size, s.stride, s.padding)
             elif c.kind == "upsample":
                 y = L.upsample_nearest(x, s.stride)
             elif c.kind == "route":
@@ -87,12 +103,27 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
                         t = _requant_u8(t, ratio, zp_in, c.out_zp)
                     parts.append(t)
                 y = jnp.concatenate(parts, axis=-1)
-            elif c.kind == "shortcut":
-                (s_x, z_x), (s_k, z_k) = c.in_scales
-                fx = (x.astype(jnp.float32) - z_x) * s_x
-                fk = (outputs[s.index].astype(jnp.float32) - z_k) * s_k
+            elif c.kind == "route_f32":
+                parts = []
+                for (j, qp) in zip(s.layers, c.branches):
+                    t = outputs[j]
+                    if t.dtype == jnp.uint8:
+                        t = (t.astype(jnp.float32) - qp[1]) * qp[0]
+                    parts.append(t)
+                y = jnp.concatenate(parts, axis=-1)
+            elif c.kind in ("shortcut", "shortcut_f32"):
+                qp_x, qp_k = c.in_scales
+                fx = (
+                    (x.astype(jnp.float32) - qp_x[1]) * qp_x[0]
+                    if x.dtype == jnp.uint8 else x
+                )
+                skip = outputs[s.index]
+                fk = (
+                    (skip.astype(jnp.float32) - qp_k[1]) * qp_k[0]
+                    if skip.dtype == jnp.uint8 else skip
+                )
                 f = L.activate(fx + fk, s.activation)
-                y = _quantize_input(f, c.out_scale, c.out_zp)
+                y = _quantize_input(f, c.out_scale, c.out_zp) if c.kind == "shortcut" else f
             elif c.kind == "yolo":
                 y = x
                 heads.append(x)

@@ -119,6 +119,36 @@ class NetworkDef:
     def head_indices(self) -> list[int]:
         return [i for i, s in enumerate(self.specs) if isinstance(s, YoloSpec)]
 
+    def output_domains(self) -> list[str]:
+        """Static per-layer output domain at integer inference: "u8" or "f32".
+
+        Drives mixed float/quant graphs (the reference's per-layer
+        ``quantized=`` flags, src/parser.c:193-194): quantized convs emit u8
+        (f32 when quant_stop dequantizes), float convs emit f32,
+        maxpool/upsample inherit, a route is u8 only if every branch is,
+        a shortcut is u8 only if both inputs are.
+        """
+        doms: list[str] = []
+
+        def inp(i: int) -> str:
+            return doms[i - 1] if i > 0 else "u8"  # net input is quantized
+
+        for i, s in enumerate(self.specs):
+            if isinstance(s, ConvSpec):
+                d = ("f32" if s.quant_stop else "u8") if s.quantized else "f32"
+            elif isinstance(s, (MaxPoolSpec, UpsampleSpec)):
+                d = inp(i)
+            elif isinstance(s, RouteSpec):
+                d = "u8" if s.quantized and all(doms[j] == "u8" for j in s.layers) else "f32"
+            elif isinstance(s, ShortcutSpec):
+                d = "u8" if inp(i) == "u8" and doms[s.index] == "u8" else "f32"
+            elif isinstance(s, YoloSpec):
+                d = inp(i)
+            else:
+                raise TypeError(f"unknown spec {s}")
+            doms.append(d)
+        return doms
+
 
 # ---------------------------------------------------------------------------
 # Parameter / state initialization
@@ -200,9 +230,14 @@ def init_quant_state(net: NetworkDef) -> dict[str, dict[str, jax.Array]]:
     qs: dict[str, dict[str, jax.Array]] = {
         "input": {"min": np.float32(0.0), "max": np.float32(0.0)}
     }
+    domains = net.output_domains()
     for i, s in enumerate(net.specs):
         if isinstance(s, ConvSpec) and s.quantized:
             qs[f"act_{i}"] = {"min": np.float32(0.0), "max": np.float32(0.0)}
+            if i > 0 and domains[i - 1] == "f32":
+                # float -> quant boundary (mixed graphs): the conv input needs
+                # its own tracked range to quantize by at inference
+                qs[f"in_{i}"] = {"min": np.float32(0.0), "max": np.float32(0.0)}
         elif isinstance(s, RouteSpec) and s.quantized and len(s.layers) > 1:
             qs[f"act_{i}"] = {"min": np.float32(0.0), "max": np.float32(0.0)}
         elif isinstance(s, ShortcutSpec):
@@ -316,6 +351,14 @@ def forward(
 
     for i, s in enumerate(net.specs):
         if isinstance(s, ConvSpec):
+            in_key = f"in_{i}"
+            if mode.qat and qs is not None and in_key in qs:
+                # float -> quant boundary: fake-quant the input (EMA-tracked)
+                lo, hi = qs[in_key]["min"], qs[in_key]["max"]
+                if mode.update_ranges:
+                    lo, hi = ema_update(lo, hi, jnp.min(x), jnp.max(x))
+                    qs[in_key] = {"min": lo, "max": hi}
+                x = fake_quant(x, lo, hi)
             key = f"act_{i}"
             y, stats, new_state = _conv_forward(
                 s, params[i], x, mode, qs.get(key) if qs else None

@@ -133,7 +133,16 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
 class Trainer:
     """Host-side driver selecting float vs QAT step by global step count
     (the reference's `*net->seen > quant_start_step` check,
-    src/convolutional_kernels.cu:110)."""
+    src/convolutional_kernels.cu:110).
+
+    Multi-scale training: the reference randomly re-shapes the whole network
+    every 10 batches to a resolution in {320..608} (examples/detector.c:65-84,
+    src/network.c:434 resize_network).  The graph here is shape-polymorphic
+    (specs carry no spatial dims), so multi-scale is just feeding a batch of a
+    different size — each resolution jit-compiles once and is cached
+    (bucketed compiles, no per-resize graph surgery).  Params and quant state
+    are resolution-independent, exactly as in the reference.
+    """
 
     def __init__(self, net: NetworkDef, cfg: TrainConfig, key=None):
         self.net = net
@@ -150,3 +159,12 @@ class Trainer:
         )
         self.state, metrics = fn(self.state, images, truths)
         return metrics
+
+
+def multiscale_resolutions(
+    base: int = 416, lo: int = 320, hi: int = 608, stride: int = 32
+) -> tuple[int, ...]:
+    """The reference's random-dim set: multiples of 32 in [320, 608]
+    (examples/detector.c:65-69: rand()%10 + 10 times 32)."""
+    del base
+    return tuple(range(lo, hi + 1, stride))
