@@ -57,20 +57,82 @@ def decode_head(
     return flat(boxes), flat(obj), flat(cls)
 
 
-def decode_all_heads(heads, net, threshold_free=True):
-    """Decode every YoloSpec head of a NetworkDef and concat the results."""
-    from yolo_quantization_tpu.nn.graph import YoloSpec
+def decode_region_head(out: jax.Array, spec) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode a YOLOv2 [region] head (src/region_layer.c get_region_box /
+    get_region_detections).
 
-    yolo_specs = [s for s in net.specs if isinstance(s, YoloSpec)]
-    assert len(yolo_specs) == len(heads)
+    ``out`` is the head's forward output — x/y/obj already logistic,
+    classes already softmaxed (nn/graph.apply_simple_layer).  Region anchors
+    are in FEATURE-GRID units: bw = exp(tw) * anchor_w / W.
+    """
+    n, h, w, _ = out.shape
+    a = spec.num
+    r = out.reshape(n, h, w, a, 5 + spec.classes)
+    anchors = jnp.asarray(spec.anchors, jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1)
+    rows = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1)
+    bx = (r[..., 0] + cols) / w
+    by = (r[..., 1] + rows) / h
+    bw = jnp.exp(r[..., 2]) * anchors[:, 0].reshape(1, 1, 1, a) / w
+    bh = jnp.exp(r[..., 3]) * anchors[:, 1].reshape(1, 1, 1, a) / h
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    obj = r[..., 4]
+    cls = r[..., 5:]
+    flat = lambda t: t.reshape(n, h * w * a, *t.shape[5:])  # noqa: E731
+    return (
+        boxes.reshape(n, h * w * a, 4),
+        obj.reshape(n, h * w * a),
+        cls.reshape(n, h * w * a, spec.classes),
+    )
+
+
+def decode_detection_head(out: jax.Array, spec) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode a YOLOv1 [detection] head (src/detection_layer.c
+    get_detection_boxes): flat layout [S*S*C class probs][S*S*B confs]
+    [S*S*B*4 boxes]; optional sqrt on w/h."""
+    n = out.shape[0]
+    s2, b, c = spec.side * spec.side, spec.num, spec.classes
+    probs = out[:, : s2 * c].reshape(n, s2, c)
+    confs = out[:, s2 * c : s2 * (c + b)].reshape(n, s2, b)
+    boxes = out[:, s2 * (c + b) :].reshape(n, s2, b, 4)
+    cells = jnp.arange(s2)
+    col = (cells % spec.side).astype(jnp.float32)
+    row = (cells // spec.side).astype(jnp.float32)
+    bx = (boxes[..., 0] + col[None, :, None]) / spec.side
+    by = (boxes[..., 1] + row[None, :, None]) / spec.side
+    bw = boxes[..., 2] ** 2 if spec.sqrt else boxes[..., 2]
+    bh = boxes[..., 3] ** 2 if spec.sqrt else boxes[..., 3]
+    out_boxes = jnp.stack([bx, by, bw, bh], axis=-1).reshape(n, s2 * b, 4)
+    obj = confs.reshape(n, s2 * b)
+    cls = jnp.repeat(probs, b, axis=1)  # each of the B boxes shares cell probs
+    return out_boxes, obj, cls
+
+
+def decode_all_heads(heads, net, threshold_free=True):
+    """Decode every detection head (yolo/region/detection) and concat."""
+    from yolo_quantization_tpu.nn.graph import (
+        DetectionSpec,
+        RegionSpec,
+        YoloSpec,
+    )
+
+    head_specs = [
+        s for s in net.specs if isinstance(s, (YoloSpec, RegionSpec, DetectionSpec))
+    ]
+    assert len(head_specs) == len(heads)
     parts = []
-    for raw, spec in zip(heads, yolo_specs):
-        anchors = jnp.asarray(
-            [spec.anchors[m] for m in spec.mask], dtype=jnp.float32
-        )
-        parts.append(
-            decode_head(raw, anchors, spec.classes, net.width, net.height)
-        )
+    for raw, spec in zip(heads, head_specs):
+        if isinstance(spec, YoloSpec):
+            anchors = jnp.asarray(
+                [spec.anchors[m] for m in spec.mask], dtype=jnp.float32
+            )
+            parts.append(
+                decode_head(raw, anchors, spec.classes, net.width, net.height)
+            )
+        elif isinstance(spec, RegionSpec):
+            parts.append(decode_region_head(raw, spec))
+        else:
+            parts.append(decode_detection_head(raw, spec))
     boxes = jnp.concatenate([p[0] for p in parts], axis=1)
     obj = jnp.concatenate([p[1] for p in parts], axis=1)
     cls = jnp.concatenate([p[2] for p in parts], axis=1)

@@ -34,9 +34,12 @@ import numpy as np
 
 from yolo_quantization_tpu.core.quant import QUANT_MAX, QUANT_MIN, quantize_multiplier
 from yolo_quantization_tpu.nn.graph import (
+    SIMPLE_SPECS,
     ConvSpec,
+    DetectionSpec,
     MaxPoolSpec,
     NetworkDef,
+    RegionSpec,
     RouteSpec,
     ShortcutSpec,
     UpsampleSpec,
@@ -297,6 +300,18 @@ def convert(
                     out_zp=cur_qp[1] if cur_qp else 0,
                 )
             )
+        elif isinstance(s, SIMPLE_SPECS):
+            # extended float-only layers: engine dequantizes a u8 input with
+            # the producer's qp then runs the shared float implementation
+            if i in params:
+                arrays[i] = {k: v.astype(np.float32) for k, v in params[i].items()}
+            cfg.append(
+                QuantizedLayerCfg(
+                    kind="simple", spec=s, out_scale=0.0, out_zp=0,
+                    in_scales=((cur_qp if in_domain == "u8" else None),),
+                )
+            )
+            cur_qp = None
         else:
             raise TypeError(f"unknown spec {s}")
 

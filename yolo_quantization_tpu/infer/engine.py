@@ -20,7 +20,12 @@ import numpy as np
 from yolo_quantization_tpu.eval import detect
 from yolo_quantization_tpu.infer.convert import IntProgram
 from yolo_quantization_tpu.nn import layers as L
-from yolo_quantization_tpu.nn.graph import YoloSpec
+from yolo_quantization_tpu.nn.graph import (
+    DetectionSpec,
+    RegionSpec,
+    YoloSpec,
+    apply_simple_layer,
+)
 from yolo_quantization_tpu.ops import qconv
 
 
@@ -127,6 +132,13 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
             elif c.kind == "yolo":
                 y = x
                 heads.append(x)
+            elif c.kind == "simple":
+                if x.dtype == jnp.uint8:
+                    qp = c.in_scales[0]
+                    x = (x.astype(jnp.float32) - qp[1]) * qp[0]
+                y = apply_simple_layer(s, arrays.get(i), x, train=False)
+                if isinstance(s, (RegionSpec, DetectionSpec)):
+                    heads.append(y)
             else:
                 raise ValueError(c.kind)
             outputs.append(y)

@@ -11,11 +11,26 @@ declarative graph.  Relative layer references ([route] layers=-4,
 from __future__ import annotations
 
 from yolo_quantization_tpu.nn.graph import (
+    ActivationSpec,
+    AvgPoolSpec,
+    BatchNormSpec,
+    ConnectedSpec,
     ConvSpec,
+    CropSpec,
+    DeconvSpec,
+    DetectionSpec,
+    DropoutSpec,
+    L2NormSpec,
+    LRNSpec,
+    LocalSpec,
+    LogisticSpec,
     MaxPoolSpec,
     NetworkDef,
+    RegionSpec,
+    ReorgSpec,
     RouteSpec,
     ShortcutSpec,
+    SoftmaxSpec,
     UpsampleSpec,
     YoloSpec,
 )
@@ -137,6 +152,98 @@ def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
                     classes=int(opts.get("classes", 20)),
                 )
             )
+        elif name == "region":
+            flat = _floats(opts.get("anchors", ""))
+            anchors = tuple((flat[j], flat[j + 1]) for j in range(0, len(flat), 2))
+            specs.append(
+                RegionSpec(
+                    anchors=anchors,
+                    classes=int(opts.get("classes", 20)),
+                    num=int(opts.get("num", len(anchors) or 5)),
+                    softmax=flag("softmax", 0),
+                )
+            )
+        elif name == "detection":
+            specs.append(
+                DetectionSpec(
+                    classes=int(opts.get("classes", 20)),
+                    num=int(opts.get("num", 2)),
+                    side=int(opts.get("side", 7)),
+                    coords=int(opts.get("coords", 4)),
+                    sqrt=flag("sqrt", 0),
+                )
+            )
+        elif name == "connected":
+            specs.append(
+                ConnectedSpec(
+                    outputs=int(opts.get("output", 1)),
+                    activation=_ACT_MAP[opts.get("activation", "logistic")],
+                    batch_normalize=flag("batch_normalize"),
+                )
+            )
+        elif name == "softmax":
+            specs.append(
+                SoftmaxSpec(
+                    groups=int(opts.get("groups", 1)),
+                    temperature=float(opts.get("temperature", 1)),
+                )
+            )
+        elif name == "avgpool":
+            specs.append(AvgPoolSpec())
+        elif name == "dropout":
+            specs.append(DropoutSpec(probability=float(opts.get("probability", 0.5))))
+        elif name == "crop":
+            specs.append(
+                CropSpec(
+                    crop_height=int(opts.get("crop_height", 1)),
+                    crop_width=int(opts.get("crop_width", 1)),
+                    flip=flag("flip"),
+                )
+            )
+        elif name == "local":
+            size = int(opts.get("size", 1))
+            specs.append(
+                LocalSpec(
+                    filters=int(opts.get("filters", 1)),
+                    size=size,
+                    stride=int(opts.get("stride", 1)),
+                    pad=size // 2 if flag("pad") else 0,
+                    activation=_ACT_MAP[opts.get("activation", "logistic")],
+                )
+            )
+        elif name == "deconvolutional":
+            specs.append(
+                DeconvSpec(
+                    filters=int(opts.get("filters", 1)),
+                    size=int(opts.get("size", 1)),
+                    stride=int(opts.get("stride", 1)),
+                    activation=_ACT_MAP[opts.get("activation", "logistic")],
+                    batch_normalize=flag("batch_normalize"),
+                )
+            )
+        elif name == "reorg":
+            specs.append(
+                ReorgSpec(
+                    stride=int(opts.get("stride", 1)), reverse=flag("reverse")
+                )
+            )
+        elif name in ("normalization", "lrn"):
+            specs.append(
+                LRNSpec(
+                    size=int(opts.get("size", 5)),
+                    alpha=float(opts.get("alpha", 0.0001)),
+                    beta=float(opts.get("beta", 0.75)),
+                    kappa=float(opts.get("kappa", 1.0)),
+                )
+            )
+        elif name == "l2norm":
+            specs.append(L2NormSpec())
+        elif name == "logistic":
+            specs.append(LogisticSpec())
+        elif name == "activation":
+            specs.append(ActivationSpec(activation=_ACT_MAP[opts.get("activation", "linear")]))
+        elif name == "batchnorm":
+            specs.append(BatchNormSpec())
         else:
             raise NotImplementedError(f"cfg section [{name}] not supported")
 

@@ -32,7 +32,11 @@ from dataclasses import dataclass
 import numpy as np
 
 from yolo_quantization_tpu.nn.graph import (
+    BatchNormSpec,
+    ConnectedSpec,
     ConvSpec,
+    DeconvSpec,
+    LocalSpec,
     MaxPoolSpec,
     NetworkDef,
     RouteSpec,
@@ -112,7 +116,9 @@ def load_darknet_weights(
     qs: dict[str, dict[str, np.float32]] = {}
     raw: dict[int, dict[str, np.ndarray]] = {}
     in_c = net.channels
+    in_h, in_w = net.height, net.width
     chans = net.out_channels()
+    shapes = net.shapes()
 
     for i, s in enumerate(net.specs):
         if isinstance(s, ConvSpec):
@@ -147,6 +153,44 @@ def load_darknet_weights(
             w = r.f32(n * in_c * k * k).reshape(n, in_c, k, k)  # OIHW
             p["w"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # HWIO
             params[i] = p
+        elif isinstance(s, DeconvSpec):
+            # darknet serializes deconv exactly like conv (save_weights_upto:982)
+            n, k = s.filters, s.size
+            p = {"bias": r.f32(n)}
+            if s.batch_normalize:
+                p["gamma"] = r.f32(n)
+                p["mean"] = r.f32(n)
+                p["var"] = r.f32(n)
+            w = r.f32(n * in_c * k * k).reshape(n, in_c, k, k)
+            p["w"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+            params[i] = p
+        elif isinstance(s, ConnectedSpec):
+            # biases then (outputs, inputs) weights (parser.c load_connected_weights)
+            fin = in_h * in_w * in_c
+            p = {"bias": r.f32(s.outputs)}
+            w = r.f32(s.outputs * fin).reshape(s.outputs, fin)
+            p["w"] = np.ascontiguousarray(w.T)
+            if s.batch_normalize:
+                p["gamma"] = r.f32(s.outputs)
+                p["mean"] = r.f32(s.outputs)
+                p["var"] = r.f32(s.outputs)
+            params[i] = p
+        elif isinstance(s, LocalSpec):
+            oh, ow, _ = shapes[i]
+            outputs = oh * ow * s.filters
+            kin = s.size * s.size * in_c
+            p = {"bias": r.f32(outputs).reshape(s.filters, oh * ow).T.copy()}
+            # darknet local weights: (locations, filters, kin) row-major? the C
+            # forward indexes weights + j*size*size*c*n, A=(n, kin) per loc
+            w = r.f32(oh * ow * s.filters * kin).reshape(oh * ow, s.filters, kin)
+            p["w"] = np.ascontiguousarray(w.transpose(0, 2, 1))
+            params[i] = p
+        elif isinstance(s, BatchNormSpec):
+            # darknet saves scales/mean/var only — beta is NOT serialized
+            # (save_batchnorm_weights parser.c:931-941)
+            p = {"gamma": r.f32(in_c), "mean": r.f32(in_c), "var": r.f32(in_c),
+                 "bias": np.zeros((in_c,), np.float32)}
+            params[i] = p
         elif isinstance(s, MaxPoolSpec):
             if quantized:
                 scale, = r.f32(1)
@@ -163,7 +207,7 @@ def load_darknet_weights(
                 scale, = r.f32(1)
                 zp, = r.u8(1)
                 raw[i] = {"activ_scale": np.float32(scale), "activ_zp": np.uint8(zp)}
-        in_c = chans[i]
+        in_h, in_w, in_c = shapes[i]
 
     if r.remaining():
         raise ValueError(f"{r.remaining()} trailing bytes — layout mismatch")
@@ -176,9 +220,24 @@ def _layout_size(net: NetworkDef, quantized: bool) -> int:
     """Byte count of the body (without the 20-byte header)."""
     total = 0
     in_c = net.channels
-    chans = net.out_channels()
+    in_h, in_w = net.height, net.width
+    shapes = net.shapes()
     for i, s in enumerate(net.specs):
-        if isinstance(s, ConvSpec):
+        if isinstance(s, DeconvSpec):
+            n, k = s.filters, s.size
+            total += 4 * n + (3 * 4 * n if s.batch_normalize else 0)
+            total += 4 * n * in_c * k * k
+        elif isinstance(s, ConnectedSpec):
+            fin = in_h * in_w * in_c
+            total += 4 * s.outputs * (1 + fin)
+            if s.batch_normalize:
+                total += 3 * 4 * s.outputs
+        elif isinstance(s, LocalSpec):
+            oh, ow, _ = shapes[i]
+            total += 4 * oh * ow * s.filters * (1 + s.size * s.size * in_c)
+        elif isinstance(s, BatchNormSpec):
+            total += 3 * 4 * in_c
+        elif isinstance(s, ConvSpec):
             n, k = s.filters, s.size
             total += 4 * n  # biases
             if s.batch_normalize:
@@ -197,7 +256,7 @@ def _layout_size(net: NetworkDef, quantized: bool) -> int:
         elif isinstance(s, UpsampleSpec):
             if quantized and s.quantized:
                 total += 5
-        in_c = chans[i]
+        in_h, in_w, in_c = shapes[i]
     return total
 
 
@@ -246,6 +305,33 @@ def save_darknet_weights(
                 out += np.ascontiguousarray(w_u8.transpose(3, 2, 0, 1)).tobytes()
             w = np.asarray(p["w"], np.float32)  # HWIO -> OIHW
             out += np.ascontiguousarray(w.transpose(3, 2, 0, 1)).tobytes()
+        elif isinstance(s, DeconvSpec):
+            p = params[i]
+            out += np.asarray(p["bias"], np.float32).tobytes()
+            if s.batch_normalize:
+                out += np.asarray(p["gamma"], np.float32).tobytes()
+                out += np.asarray(p["mean"], np.float32).tobytes()
+                out += np.asarray(p["var"], np.float32).tobytes()
+            w = np.asarray(p["w"], np.float32)
+            out += np.ascontiguousarray(w.transpose(3, 2, 0, 1)).tobytes()
+        elif isinstance(s, ConnectedSpec):
+            p = params[i]
+            out += np.asarray(p["bias"], np.float32).tobytes()
+            out += np.ascontiguousarray(np.asarray(p["w"], np.float32).T).tobytes()
+            if s.batch_normalize:
+                out += np.asarray(p["gamma"], np.float32).tobytes()
+                out += np.asarray(p["mean"], np.float32).tobytes()
+                out += np.asarray(p["var"], np.float32).tobytes()
+        elif isinstance(s, LocalSpec):
+            p = params[i]
+            out += np.ascontiguousarray(np.asarray(p["bias"], np.float32).T).tobytes()
+            w = np.asarray(p["w"], np.float32)  # (loc, kin, n) -> (loc, n, kin)
+            out += np.ascontiguousarray(w.transpose(0, 2, 1)).tobytes()
+        elif isinstance(s, BatchNormSpec):
+            p = params[i]
+            out += np.asarray(p["gamma"], np.float32).tobytes()
+            out += np.asarray(p["mean"], np.float32).tobytes()
+            out += np.asarray(p["var"], np.float32).tobytes()
         elif isinstance(s, (MaxPoolSpec, UpsampleSpec)):
             if program is not None and (not isinstance(s, UpsampleSpec) or s.quantized):
                 c = program.cfg[i]

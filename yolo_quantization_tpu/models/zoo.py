@@ -10,11 +10,16 @@ the same NetworkDef form.
 from __future__ import annotations
 
 from yolo_quantization_tpu.nn.graph import (
+    AvgPoolSpec,
+    ConnectedSpec,
     ConvSpec,
     MaxPoolSpec,
     NetworkDef,
+    RegionSpec,
+    ReorgSpec,
     RouteSpec,
     ShortcutSpec,
+    SoftmaxSpec,
     UpsampleSpec,
     YoloSpec,
 )
@@ -153,3 +158,101 @@ def yolov3(
     s.append(YoloSpec(mask=(0, 1, 2), anchors=anchors, classes=classes))
 
     return NetworkDef(specs=tuple(s), width=width, height=height)
+
+
+# YOLOv2 region anchors are in 13x13-grid units (darknet yolov2-voc.cfg)
+VOC_V2_ANCHORS = (
+    (1.3221, 1.73145), (3.19275, 4.00944), (5.05587, 8.09892),
+    (9.47112, 4.84053), (11.2364, 10.0071),
+)
+VOC_V2_TINY_ANCHORS = (
+    (1.08, 1.19), (3.42, 4.41), (6.63, 11.38), (9.42, 5.11), (16.62, 10.52),
+)
+
+
+def yolov2_tiny(
+    classes: int = 20,
+    activation: str = "leaky",
+    anchors: tuple[tuple[float, float], ...] = VOC_V2_TINY_ANCHORS,
+    width: int = 416,
+    height: int = 416,
+    quantized: bool = True,
+) -> NetworkDef:
+    """Tiny YOLOv2 (darknet yolov2-tiny-voc.cfg topology, [region] head)."""
+    q = quantized
+    num = len(anchors)
+
+    def c(f, k=3):
+        return ConvSpec(filters=f, size=k, pad=1 if k == 3 else 0,
+                        activation=activation, quantized=q)
+
+    specs: list = []
+    for f in (16, 32, 64, 128, 256):
+        specs += [c(f), MaxPoolSpec(2, 2, quantized=q)]
+    specs += [c(512), MaxPoolSpec(2, 1, quantized=q), c(1024), c(1024)]
+    specs.append(ConvSpec(filters=num * (5 + classes), size=1, pad=0,
+                          activation="linear", batch_normalize=False,
+                          quantized=q, quant_stop=True))
+    specs.append(RegionSpec(anchors=anchors, classes=classes, num=num))
+    return NetworkDef(tuple(specs), width=width, height=height)
+
+
+def yolov2(
+    classes: int = 20,
+    activation: str = "leaky",
+    anchors: tuple[tuple[float, float], ...] = VOC_V2_ANCHORS,
+    width: int = 416,
+    height: int = 416,
+    quantized: bool = True,
+) -> NetworkDef:
+    """Full YOLOv2: darknet19 backbone + reorg passthrough (darknet
+    yolov2-voc.cfg topology), [region] head.  The reorg layer reproduces
+    darknet's exact scrambled element order (nn/layers.reorg)."""
+    q = quantized
+    num = len(anchors)
+
+    def c(f, k=3):
+        return ConvSpec(filters=f, size=k, pad=1 if k == 3 else 0,
+                        activation=activation, quantized=q)
+
+    s: list = [
+        c(32), MaxPoolSpec(2, 2, quantized=q),                    # 0-1
+        c(64), MaxPoolSpec(2, 2, quantized=q),                    # 2-3
+        c(128), c(64, 1), c(128), MaxPoolSpec(2, 2, quantized=q),  # 4-7
+        c(256), c(128, 1), c(256), MaxPoolSpec(2, 2, quantized=q), # 8-11
+        c(512), c(256, 1), c(512), c(256, 1), c(512),              # 12-16
+        MaxPoolSpec(2, 2, quantized=q),                            # 17
+        c(1024), c(512, 1), c(1024), c(512, 1), c(1024),           # 18-22
+        c(1024), c(1024),                                          # 23-24
+    ]
+    passthrough = 16  # the 26x26x512 conv (cfg route layers=-9)
+    s.append(RouteSpec(layers=(passthrough,), quantized=q))        # 25
+    s.append(c(64, 1))                                             # 26
+    s.append(ReorgSpec(stride=2))                                  # 27
+    s.append(RouteSpec(layers=(27, 24), quantized=q))              # 28
+    s.append(c(1024))                                              # 29
+    s.append(ConvSpec(filters=num * (5 + classes), size=1, pad=0,
+                      activation="linear", batch_normalize=False,
+                      quantized=q, quant_stop=True))               # 30
+    s.append(RegionSpec(anchors=anchors, classes=classes, num=num))
+    return NetworkDef(tuple(s), width=width, height=height)
+
+
+def darknet19(classes: int = 1000, width: int = 224, height: int = 224) -> NetworkDef:
+    """darknet19 classifier (the reference's classification lineage):
+    conv backbone + 1x1 class conv + global avgpool + softmax."""
+    def c(f, k=3):
+        return ConvSpec(filters=f, size=k, pad=1 if k == 3 else 0,
+                        activation="leaky", quantized=False)
+
+    s: list = [c(32), MaxPoolSpec(2, 2)]
+    s += [c(64), MaxPoolSpec(2, 2)]
+    s += [c(128), c(64, 1), c(128), MaxPoolSpec(2, 2)]
+    s += [c(256), c(128, 1), c(256), MaxPoolSpec(2, 2)]
+    s += [c(512), c(256, 1), c(512), c(256, 1), c(512), MaxPoolSpec(2, 2)]
+    s += [c(1024), c(512, 1), c(1024), c(512, 1), c(1024)]
+    s.append(ConvSpec(filters=classes, size=1, pad=0, activation="linear",
+                      batch_normalize=False, quantized=False))
+    s.append(AvgPoolSpec())
+    s.append(SoftmaxSpec())
+    return NetworkDef(tuple(s), width=width, height=height)

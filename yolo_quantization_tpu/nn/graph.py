@@ -88,7 +88,126 @@ class YoloSpec:
     classes: int
 
 
+# --- extended darknet layer set (SURVEY §2.3), all float-domain -------------
+
+
+@dataclass(frozen=True)
+class ConnectedSpec:
+    """Fully-connected layer (src/connected_layer.c)."""
+
+    outputs: int
+    activation: str = "linear"
+    batch_normalize: bool = False
+
+
+@dataclass(frozen=True)
+class SoftmaxSpec:
+    """Softmax over channels (src/softmax_layer.c); hierarchy trees unsupported."""
+
+    groups: int = 1
+    temperature: float = 1.0
+
+
+@dataclass(frozen=True)
+class AvgPoolSpec:
+    """Global average pool (src/avgpool_layer.c)."""
+
+
+@dataclass(frozen=True)
+class DropoutSpec:
+    probability: float = 0.5
+
+
+@dataclass(frozen=True)
+class CropSpec:
+    crop_height: int
+    crop_width: int
+    flip: bool = False
+
+
+@dataclass(frozen=True)
+class LocalSpec:
+    """Locally-connected conv (src/local_layer.c, yolov1 head)."""
+
+    filters: int
+    size: int = 3
+    stride: int = 1
+    pad: int = 0
+    activation: str = "leaky"
+
+
+@dataclass(frozen=True)
+class DeconvSpec:
+    """Transpose conv (src/deconvolutional_layer.c): VALID, out=(in-1)*s+k."""
+
+    filters: int
+    size: int = 3
+    stride: int = 1
+    activation: str = "leaky"
+    batch_normalize: bool = False
+
+
+@dataclass(frozen=True)
+class ReorgSpec:
+    stride: int = 2
+    reverse: bool = False
+
+
+@dataclass(frozen=True)
+class LRNSpec:
+    """[normalization] local response norm (src/normalization_layer.c)."""
+
+    size: int = 5
+    alpha: float = 0.0001
+    beta: float = 0.75
+    kappa: float = 1.0
+
+
+@dataclass(frozen=True)
+class L2NormSpec:
+    pass
+
+
+@dataclass(frozen=True)
+class LogisticSpec:
+    """Standalone logistic activation layer (src/logistic_layer.c)."""
+
+
+@dataclass(frozen=True)
+class ActivationSpec:
+    activation: str = "linear"
+
+
+@dataclass(frozen=True)
+class BatchNormSpec:
+    """Standalone batchnorm layer (src/batchnorm_layer.c)."""
+
+
+@dataclass(frozen=True)
+class RegionSpec:
+    """YOLOv2 head (src/region_layer.c): logistic x/y/obj, softmax classes."""
+
+    anchors: tuple[tuple[float, float], ...]
+    classes: int = 20
+    num: int = 5
+    softmax: bool = True
+    # anchors are in feature-grid units (unlike YoloSpec's input pixels)
+
+
+@dataclass(frozen=True)
+class DetectionSpec:
+    """YOLOv1 head (src/detection_layer.c), fed by a connected layer."""
+
+    classes: int = 20
+    num: int = 2
+    side: int = 7
+    coords: int = 4
+    sqrt: bool = True
+
+
 LayerSpec = Any  # union of the above
+
+HEAD_SPECS = (YoloSpec, RegionSpec, DetectionSpec)
 
 
 @dataclass(frozen=True)
@@ -100,24 +219,62 @@ class NetworkDef:
     height: int = 416
     channels: int = 3
 
-    def out_channels(self) -> list[int]:
-        """Static shape inference: #channels produced by each layer."""
-        chans: list[int] = []
-        c = self.channels
-        for s in self.specs:
+    def shapes(self) -> list[tuple[int, int, int]]:
+        """Static shape inference: (h, w, c) produced by each layer.
+
+        Fully-connected outputs are reported as (1, 1, outputs), matching
+        darknet's flattened handling (src/connected_layer.c).
+        """
+        out: list[tuple[int, int, int]] = []
+        h, w, c = self.height, self.width, self.channels
+        for i, s in enumerate(self.specs):
             if isinstance(s, ConvSpec):
+                h = (h + 2 * s.pad - s.size) // s.stride + 1
+                w = (w + 2 * s.pad - s.size) // s.stride + 1
                 c = s.filters
+            elif isinstance(s, MaxPoolSpec):
+                p = s.padding
+                h = (h + p - s.size) // s.stride + 1
+                w = (w + p - s.size) // s.stride + 1
+            elif isinstance(s, UpsampleSpec):
+                h, w = h * s.stride, w * s.stride
             elif isinstance(s, RouteSpec):
-                c = sum(chans[j] for j in s.layers)
-            elif isinstance(s, (MaxPoolSpec, UpsampleSpec, ShortcutSpec, YoloSpec)):
-                pass  # channel-preserving (yolo passes through)
+                h, w, _ = out[s.layers[0]]
+                c = sum(out[j][2] for j in s.layers)
+            elif isinstance(s, (ShortcutSpec, YoloSpec, RegionSpec, DetectionSpec,
+                                SoftmaxSpec, DropoutSpec, LRNSpec, L2NormSpec,
+                                LogisticSpec, ActivationSpec, BatchNormSpec)):
+                pass
+            elif isinstance(s, ConnectedSpec):
+                h, w, c = 1, 1, s.outputs
+            elif isinstance(s, AvgPoolSpec):
+                h, w = 1, 1
+            elif isinstance(s, CropSpec):
+                h, w = s.crop_height, s.crop_width
+            elif isinstance(s, LocalSpec):
+                h = (h + 2 * s.pad - s.size) // s.stride + 1
+                w = (w + 2 * s.pad - s.size) // s.stride + 1
+                c = s.filters
+            elif isinstance(s, DeconvSpec):
+                h = (h - 1) * s.stride + s.size
+                w = (w - 1) * s.stride + s.size
+                c = s.filters
+            elif isinstance(s, ReorgSpec):
+                if s.reverse:
+                    h, w, c = h * s.stride, w * s.stride, c // (s.stride**2)
+                else:
+                    h, w, c = h // s.stride, w // s.stride, c * s.stride**2
             else:
                 raise TypeError(f"unknown spec {s}")
-            chans.append(c)
-        return chans
+            out.append((h, w, c))
+        return out
+
+    def out_channels(self) -> list[int]:
+        """Static shape inference: #channels produced by each layer."""
+        return [c for (_, _, c) in self.shapes()]
 
     def head_indices(self) -> list[int]:
-        return [i for i, s in enumerate(self.specs) if isinstance(s, YoloSpec)]
+        return [i for i, s in enumerate(self.specs) if isinstance(s, HEAD_SPECS)]
 
     def output_domains(self) -> list[str]:
         """Static per-layer output domain at integer inference: "u8" or "f32".
@@ -145,7 +302,9 @@ class NetworkDef:
             elif isinstance(s, YoloSpec):
                 d = inp(i)
             else:
-                raise TypeError(f"unknown spec {s}")
+                # extended layers run float at inference (the reference
+                # quantizes none of them, SURVEY §2.3)
+                d = "f32"
             doms.append(d)
         return doms
 
@@ -162,27 +321,9 @@ def init_params(key: jax.Array, net: NetworkDef) -> dict[int, dict[str, jax.Arra
     mean/var rolling stats (darknet rolling_mean/rolling_variance).  With BN
     the 'bias' slot is the BN beta, exactly like darknet reuses l.biases.
     """
-    params: dict[int, dict[str, jax.Array]] = {}
-    in_c = net.channels
-    chans = net.out_channels()
-    for i, s in enumerate(net.specs):
-        if isinstance(s, ConvSpec):
-            key, sub = jax.random.split(key)
-            scale = jnp.sqrt(2.0 / (s.size * s.size * in_c))
-            p = {
-                "w": jax.random.normal(
-                    sub, (s.size, s.size, in_c, s.filters), jnp.float32
-                )
-                * scale,
-                "bias": jnp.zeros((s.filters,), jnp.float32),
-            }
-            if s.batch_normalize:
-                p["gamma"] = jnp.ones((s.filters,), jnp.float32)
-                p["mean"] = jnp.zeros((s.filters,), jnp.float32)
-                p["var"] = jnp.ones((s.filters,), jnp.float32)
-            params[i] = p
-        in_c = chans[i]
-    return params
+    import numpy as np
+
+    return jax.tree.map(jnp.asarray, init_params_numpy(int(jax.random.randint(key, (), 0, 2**31 - 1)), net))
 
 
 def init_params_numpy(seed: int, net: NetworkDef) -> dict[int, dict[str, Any]]:
@@ -196,21 +337,56 @@ def init_params_numpy(seed: int, net: NetworkDef) -> dict[int, dict[str, Any]]:
 
     rng = np.random.default_rng(seed)
     params: dict[int, dict[str, Any]] = {}
-    in_c = net.channels
-    chans = net.out_channels()
+    shapes = net.shapes()
+
+    def randn(shape, scale):
+        return (rng.standard_normal(shape) * scale).astype("float32")
+
+    def bn_extras(p, n):
+        p["gamma"] = np.ones((n,), "float32")
+        p["mean"] = np.zeros((n,), "float32")
+        p["var"] = np.ones((n,), "float32")
+
     for i, s in enumerate(net.specs):
+        in_h, in_w, in_c = shapes[i - 1] if i > 0 else (net.height, net.width, net.channels)
         if isinstance(s, ConvSpec):
             scale = float(np.sqrt(2.0 / (s.size * s.size * in_c)))
             p = {
-                "w": (rng.standard_normal((s.size, s.size, in_c, s.filters)) * scale).astype("float32"),
+                "w": randn((s.size, s.size, in_c, s.filters), scale),
                 "bias": np.zeros((s.filters,), "float32"),
             }
             if s.batch_normalize:
-                p["gamma"] = np.ones((s.filters,), "float32")
-                p["mean"] = np.zeros((s.filters,), "float32")
-                p["var"] = np.ones((s.filters,), "float32")
+                bn_extras(p, s.filters)
             params[i] = p
-        in_c = chans[i]
+        elif isinstance(s, ConnectedSpec):
+            fin = in_h * in_w * in_c
+            p = {
+                "w": randn((fin, s.outputs), float(np.sqrt(2.0 / fin))),
+                "bias": np.zeros((s.outputs,), "float32"),
+            }
+            if s.batch_normalize:
+                bn_extras(p, s.outputs)
+            params[i] = p
+        elif isinstance(s, LocalSpec):
+            oh, ow, _ = shapes[i]
+            kin = s.size * s.size * in_c
+            params[i] = {
+                "w": randn((oh * ow, kin, s.filters), float(np.sqrt(2.0 / kin))),
+                "bias": np.zeros((oh * ow, s.filters), "float32"),
+            }
+        elif isinstance(s, DeconvSpec):
+            scale = float(np.sqrt(2.0 / (s.size * s.size * in_c)))
+            p = {
+                "w": randn((s.size, s.size, in_c, s.filters), scale),
+                "bias": np.zeros((s.filters,), "float32"),
+            }
+            if s.batch_normalize:
+                bn_extras(p, s.filters)
+            params[i] = p
+        elif isinstance(s, BatchNormSpec):
+            p = {"bias": np.zeros((in_c,), "float32")}
+            bn_extras(p, in_c)
+            params[i] = p
     return params
 
 
@@ -316,12 +492,89 @@ def _conv_forward(
     return y, bn_stats, new_state
 
 
+def apply_simple_layer(
+    s: LayerSpec,
+    p: dict[str, jax.Array] | None,
+    x: jax.Array,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Forward for the extended (float-only) darknet layer set.
+
+    Shared by the float/QAT graph (forward below) and the integer engine
+    (infer/engine.py dequantizes into here for f32-domain layers).
+    """
+    if isinstance(s, ConnectedSpec):
+        if s.batch_normalize:
+            y = L.connected(x, p["w"], jnp.zeros_like(p["bias"]))
+            scale, bias = L.bn_inference_scale_bias(p["gamma"], p["bias"], p["mean"], p["var"])
+            y = y * scale + bias
+        else:
+            y = L.connected(x, p["w"], p["bias"])
+        return L.activate(y, s.activation)
+    if isinstance(s, SoftmaxSpec):
+        return L.softmax(x, s.temperature, s.groups)
+    if isinstance(s, AvgPoolSpec):
+        return L.global_avgpool(x)
+    if isinstance(s, DropoutSpec):
+        return L.dropout(x, s.probability, rng if train else None)
+    if isinstance(s, CropSpec):
+        return L.crop(x, s.crop_height, s.crop_width, train=train, rng=rng, flip=s.flip)
+    if isinstance(s, LocalSpec):
+        y = L.local_conv(x, p["w"], p["bias"], s.size, s.stride, s.pad)
+        return L.activate(y, s.activation)
+    if isinstance(s, DeconvSpec):
+        y = L.deconv2d(x, p["w"], s.stride)
+        if s.batch_normalize:
+            scale, bias = L.bn_inference_scale_bias(p["gamma"], p["bias"], p["mean"], p["var"])
+            y = y * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+        else:
+            y = y + p["bias"].reshape(1, 1, 1, -1)
+        return L.activate(y, s.activation)
+    if isinstance(s, ReorgSpec):
+        return L.reorg(x, s.stride, s.reverse)
+    if isinstance(s, LRNSpec):
+        return L.lrn(x, s.size, s.alpha, s.beta, s.kappa)
+    if isinstance(s, L2NormSpec):
+        return L.l2norm(x)
+    if isinstance(s, LogisticSpec):
+        return jax.nn.sigmoid(x)
+    if isinstance(s, ActivationSpec):
+        return L.activate(x, s.activation)
+    if isinstance(s, BatchNormSpec):
+        scale, bias = L.bn_inference_scale_bias(p["gamma"], p["bias"], p["mean"], p["var"])
+        shape = (1,) * (x.ndim - 1) + (-1,)
+        return x * scale.reshape(shape) + bias.reshape(shape)
+    if isinstance(s, RegionSpec):
+        # yolov2 head forward (src/region_layer.c): logistic on x, y, obj;
+        # softmax over classes per anchor
+        n, h, w, _ = x.shape
+        r = x.reshape(n, h, w, s.num, 5 + s.classes)
+        xy = jax.nn.sigmoid(r[..., 0:2])
+        wh = r[..., 2:4]
+        obj = jax.nn.sigmoid(r[..., 4:5])
+        cls = jax.nn.softmax(r[..., 5:], axis=-1) if s.softmax else r[..., 5:]
+        return jnp.concatenate([xy, wh, obj, cls], axis=-1).reshape(x.shape)
+    if isinstance(s, DetectionSpec):
+        return x  # v1 head: raw output, decoded in eval/detect.py
+    raise TypeError(f"not a simple layer: {s}")
+
+
+SIMPLE_SPECS = (
+    ConnectedSpec, SoftmaxSpec, AvgPoolSpec, DropoutSpec, CropSpec, LocalSpec,
+    DeconvSpec, ReorgSpec, LRNSpec, L2NormSpec, LogisticSpec, ActivationSpec,
+    BatchNormSpec, RegionSpec, DetectionSpec,
+)
+
+
 def forward(
     net: NetworkDef,
     params: dict[int, dict[str, jax.Array]],
     x: jax.Array,
     mode: ForwardMode = ForwardMode(),
     quant_state: dict[str, dict[str, jax.Array]] | None = None,
+    rng: jax.Array | None = None,
 ):
     """Run the graph.  Returns (head_outputs, aux).
 
@@ -393,6 +646,15 @@ def forward(
         elif isinstance(s, YoloSpec):
             y = x  # heads are decoded separately (eval/detect.py)
             heads.append(x)
+        elif isinstance(s, SIMPLE_SPECS):
+            layer_rng = None
+            if rng is not None:
+                rng, layer_rng = jax.random.split(rng)
+            y = apply_simple_layer(
+                s, params.get(i), x, train=mode.train, rng=layer_rng
+            )
+            if isinstance(s, (RegionSpec, DetectionSpec)):
+                heads.append(y)
         else:
             raise TypeError(f"unknown spec {s}")
         outputs.append(y)

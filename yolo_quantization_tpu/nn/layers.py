@@ -140,3 +140,163 @@ def shortcut_add(x: jax.Array, skip: jax.Array) -> jax.Array:
     also handles mismatched shapes via strided indexing — YOLOv3 only uses the
     same-shape form, so that is what we support)."""
     return x + skip
+
+
+# ---------------------------------------------------------------------------
+# Extended layer library (reference SURVEY §2.3: the full darknet op set).
+# All float-domain; the reference quantizes none of these.
+# ---------------------------------------------------------------------------
+
+
+def connected(x: jax.Array, w: jax.Array, bias: jax.Array) -> jax.Array:
+    """Fully-connected layer (src/connected_layer.c): flattens all non-batch
+    dims.  w is (in_features, out_features)."""
+    n = x.shape[0]
+    return x.reshape(n, -1) @ w + bias
+
+
+def softmax(x: jax.Array, temperature: float = 1.0, groups: int = 1) -> jax.Array:
+    """darknet softmax layer (src/softmax_layer.c) over the channel axis,
+    optionally in independent groups along channels."""
+    n = x.shape[0]
+    flat = x.reshape(n, groups, -1)
+    out = jax.nn.softmax(flat / temperature, axis=-1)
+    return out.reshape(x.shape)
+
+
+def global_avgpool(x: jax.Array) -> jax.Array:
+    """Global average pool NHWC -> (N, 1, 1, C) (src/avgpool_layer.c)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def dropout(x: jax.Array, prob: float, rng: jax.Array | None) -> jax.Array:
+    """Inverted-scaling dropout matching darknet (src/dropout_layer.c:
+    surviving values scaled by 1/(1-p) at train time, identity at test)."""
+    if rng is None or prob <= 0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - prob, x.shape)
+    return jnp.where(keep, x / (1.0 - prob), 0.0)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _reorg_permutation(h: int, w: int, c: int, stride: int) -> "np.ndarray":
+    """Flat NCHW permutation reproducing darknet's reorg_cpu exactly
+    (src/blas.c:420-441).
+
+    darknet's reorg is famously NOT a clean space-to-depth: the input buffer
+    (c, h, w) is *reinterpreted* as (c/s^2, h*s, w*s) and gathered from, and
+    the output buffer is then reinterpreted as (c*s^2, h/s, w/s).  YOLOv2
+    checkpoints depend on this exact element order, so we precompute the flat
+    permutation (out_flat[i] = in_flat[perm[i]]) and apply it as a gather.
+    """
+    import numpy as np
+
+    out_c2 = c // (stride * stride)
+    perm = np.empty(c * h * w, np.int64)
+    for k in range(c):
+        off = k // out_c2
+        c2 = k % out_c2
+        for j in range(h):
+            h2 = j * stride + off // stride
+            for i in range(w):
+                w2 = i * stride + off % stride
+                in_index = i + w * (j + h * k)
+                out_index = w2 + w * stride * (h2 + h * stride * c2)
+                perm[in_index] = out_index
+    return perm
+
+
+def reorg(x: jax.Array, stride: int, reverse: bool = False) -> jax.Array:
+    """darknet [reorg] (src/reorg_layer.c + src/blas.c:420-441 reorg_cpu).
+
+    Not-reverse (the yolov2 passthrough, 26x26x64 -> 13x13x256): the exact —
+    and famously scrambled — darknet element mapping, applied as a static
+    flat gather in NCHW order so imported yolov2 weights line up bit-for-bit.
+    reverse inverts the permutation ((c,h,w) -> (c/s^2, h*s, w*s)).
+    """
+    import numpy as np
+
+    n, h, w, c = x.shape
+    if not reverse:
+        # out[a] = in[perm[a]]  (reorg_cpu forward=0: out[in_idx] = x[out_idx])
+        perm = _reorg_permutation(h, w, c, stride)
+        out_shape = (n, c * stride * stride, h // stride, w // stride)
+    else:
+        # reorg_cpu forward=1 scatters out[out_idx] = x[in_idx] -> gather by
+        # the inverse permutation
+        perm = np.argsort(_reorg_permutation(h, w, c, stride))
+        out_shape = (n, c // (stride * stride), h * stride, w * stride)
+    flat = x.transpose(0, 3, 1, 2).reshape(n, -1)  # NCHW flat
+    out = flat[:, jnp.asarray(perm)]
+    return out.reshape(out_shape).transpose(0, 2, 3, 1)
+
+
+def lrn(x: jax.Array, size: int, alpha: float, beta: float, kappa: float) -> jax.Array:
+    """Local response normalization across channels (src/normalization_layer.c):
+    out = x / (kappa + alpha * sum_{window} x^2)^beta."""
+    sq = x * x
+    c = x.shape[-1]
+    half = size // 2
+    padded = jnp.pad(sq, ((0, 0), (0, 0), (0, 0), (half, half)))
+    window = sum(padded[..., i : i + c] for i in range(size))
+    return x / (kappa + alpha * window) ** beta
+
+
+def l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Channel-wise L2 normalization (src/l2norm_layer.c)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+    return x / norm
+
+
+def crop(
+    x: jax.Array, crop_h: int, crop_w: int, *, train: bool = False,
+    rng: jax.Array | None = None, flip: bool = False,
+) -> jax.Array:
+    """Crop layer (src/crop_layer.c): center crop at test time; random offset
+    + optional random horizontal flip at train time (the color-distortion
+    part of the reference crop layer lives in the data pipeline here)."""
+    n, h, w, c = x.shape
+    if train and rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+        dy = jax.random.randint(r1, (), 0, max(h - crop_h, 0) + 1)
+        dx = jax.random.randint(r2, (), 0, max(w - crop_w, 0) + 1)
+        out = jax.lax.dynamic_slice(x, (0, dy, dx, 0), (n, crop_h, crop_w, c))
+        if flip:
+            do_flip = jax.random.bernoulli(r3)
+            out = jnp.where(do_flip, out[:, :, ::-1, :], out)
+        return out
+    dy, dx = (h - crop_h) // 2, (w - crop_w) // 2
+    return x[:, dy : dy + crop_h, dx : dx + crop_w, :]
+
+
+def local_conv(x: jax.Array, w: jax.Array, bias: jax.Array, size: int,
+               stride: int, pad: int) -> jax.Array:
+    """Locally-connected layer (src/local_layer.c): conv with untied weights
+    per output position.  w: (out_h*out_w, size*size*in_c, out_c),
+    bias: (out_h*out_w, out_c).  Implemented as patch extraction + batched
+    matmul (einsum) — small layers only, as in darknet (yolov1 head)."""
+    n, h, wd, c = x.shape
+    if pad:
+        # darknet local layer pads with zeros (float domain)
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out_h = (h + 2 * pad - size) // stride + 1
+    out_w = (wd + 2 * pad - size) // stride + 1
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (size, size), (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (n, out_h, out_w, c*size*size) in CHW-of-patch order
+    patches = patches.reshape(n, out_h * out_w, -1)
+    out = jnp.einsum("npk,pko->npo", patches, w) + bias
+    return out.reshape(n, out_h, out_w, -1)
+
+
+def deconv2d(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+    """Transpose convolution (src/deconvolutional_layer.c): darknet uses
+    no padding and output size (in-1)*stride + size.  w is HWIO."""
+    return lax.conv_transpose(
+        x, w, (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )

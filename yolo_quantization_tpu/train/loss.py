@@ -158,17 +158,123 @@ def yolo_head_loss(
     return total, stats
 
 
-def total_loss(heads, truths, net):
-    """Sum of per-head losses over every YoloSpec of a NetworkDef."""
-    from yolo_quantization_tpu.nn.graph import YoloSpec
+@partial(jax.jit, static_argnames=("anchors", "classes", "ignore_thresh",
+                                   "object_scale", "noobject_scale",
+                                   "class_scale", "coord_scale", "rescore"))
+def region_head_loss(
+    out: jax.Array,          # (B, H, W, A*(5+C)) region FORWARD output
+    truths: jax.Array,       # (B, MAX_BOXES, 5)
+    anchors: tuple[tuple[float, float], ...],  # grid units (v2 convention)
+    classes: int,
+    ignore_thresh: float = 0.6,
+    object_scale: float = 5.0,
+    noobject_scale: float = 1.0,
+    class_scale: float = 1.0,
+    coord_scale: float = 1.0,
+    rescore: bool = True,
+):
+    """YOLOv2 [region] loss (src/region_layer.c delta_region_box/forward).
 
-    specs = [s for s in net.specs if isinstance(s, YoloSpec)]
+    Takes the head's FORWARD output (x/y/obj logistic-activated, classes
+    softmaxed — nn/graph.apply_simple_layer), since darknet computes region
+    deltas on activated values.  Squared-error terms reproduce darknet's
+    delta*scale semantics: obj target is the predicted-box IoU when rescore
+    (the darknet default for v2), 1 otherwise; class deltas are (t - p) on the
+    softmax output.  One deviation: darknet's 12800-seen anchor-prior warmup
+    (region_layer.c "if(*(net.seen) < 12800)") is omitted — it only shapes
+    very early training.
+    """
+    b, h, w, _ = out.shape
+    a = len(anchors)
+    r = out.reshape(b, h, w, a, 5 + classes)
+    anchors_arr = jnp.asarray(anchors, jnp.float32)  # grid units
+
+    cols = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1)
+    rows = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1)
+    px = (r[..., 0] + cols) / w
+    py = (r[..., 1] + rows) / h
+    pw = jnp.exp(r[..., 2]) * anchors_arr[:, 0].reshape(1, 1, 1, a) / w
+    ph = jnp.exp(r[..., 3]) * anchors_arr[:, 1].reshape(1, 1, 1, a) / h
+    pred_boxes = jnp.stack([px, py, pw, ph], axis=-1)
+    obj = r[..., 4]
+    cls = r[..., 5:]
+
+    valid = truths[..., 2] > 0
+    ious = _box_iou_xywh(
+        pred_boxes[:, :, :, :, None, :], truths[:, None, None, None, :, :4]
+    )
+    best_iou = jnp.max(jnp.where(valid[:, None, None, None, :], ious, 0.0), axis=-1)
+    ignore = best_iou > ignore_thresh
+
+    # truth assignment: cell of the center + best wh-IoU anchor (grid units)
+    t_xy, t_wh = truths[..., 0:2], truths[..., 2:4]
+    t_cls = truths[..., 4].astype(jnp.int32)
+    wh_ious = _wh_iou(
+        t_wh[..., 0:1] * w, t_wh[..., 1:2] * h,
+        anchors_arr[None, None, :, 0], anchors_arr[None, None, :, 1],
+    )
+    best_n = jnp.argmax(wh_ious, axis=-1)
+    gi = jnp.clip((t_xy[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    gj = jnp.clip((t_xy[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    assign = valid
+
+    tx = t_xy[..., 0] * w - gi
+    ty = t_xy[..., 1] * h - gj
+    anchor_wh = anchors_arr[best_n]
+    tw = jnp.log(jnp.maximum(t_wh[..., 0] * w / anchor_wh[..., 0], 1e-9))
+    th = jnp.log(jnp.maximum(t_wh[..., 1] * h / anchor_wh[..., 1], 1e-9))
+    box_scale = coord_scale * (2.0 - t_wh[..., 0] * t_wh[..., 1])
+
+    bi = jnp.broadcast_to(jnp.arange(b)[:, None], gi.shape)
+    drop = jnp.where(assign, gj, h)
+    obj_target = jnp.zeros((b, h, w, a)).at[bi, drop, gi, best_n].set(1.0, mode="drop")
+    scale_grid = jnp.zeros((b, h, w, a)).at[bi, drop, gi, best_n].set(box_scale, mode="drop")
+    txywh = jnp.stack([tx, ty, tw, th], axis=-1)
+    box_target = jnp.zeros((b, h, w, a, 4)).at[bi, drop, gi, best_n].set(txywh, mode="drop")
+    cls_target = jnp.zeros((b, h, w, a, classes)).at[
+        bi, drop, gi, best_n, jnp.where(assign, t_cls, 0)
+    ].set(1.0, mode="drop")
+    assigned = obj_target > 0
+
+    xy = jnp.stack([r[..., 0], r[..., 1]], axis=-1)
+    wh = jnp.stack([r[..., 2], r[..., 3]], axis=-1)
+    coord_loss = 0.5 * scale_grid[..., None] * (
+        (xy - box_target[..., 0:2]) ** 2 + (wh - box_target[..., 2:4]) ** 2
+    )
+    iou_at_cell = jnp.where(assigned, best_iou, 0.0)
+    obj_tgt = jnp.where(assigned, iou_at_cell if rescore else 1.0, 0.0)
+    obj_w = jnp.where(assigned, object_scale,
+                      jnp.where(ignore, 0.0, noobject_scale))
+    obj_loss = 0.5 * obj_w * (obj - obj_tgt) ** 2
+    cls_loss = jnp.where(
+        assigned[..., None], 0.5 * class_scale * (cls - cls_target) ** 2, 0.0
+    )
+    total = (
+        jnp.sum(jnp.where(assigned[..., None], coord_loss, 0.0))
+        + jnp.sum(obj_loss)
+        + jnp.sum(cls_loss)
+    )
+    stats = {"obj_count": jnp.sum(assigned),
+             "avg_obj": jnp.sum(obj * assigned) / jnp.maximum(jnp.sum(assigned), 1)}
+    return total, stats
+
+
+def total_loss(heads, truths, net):
+    """Sum of per-head losses over every detection head of a NetworkDef."""
+    from yolo_quantization_tpu.nn.graph import RegionSpec, YoloSpec
+
+    specs = [
+        s for s in net.specs if isinstance(s, (YoloSpec, RegionSpec))
+    ]
     loss = 0.0
     all_stats = []
     for raw, s in zip(heads, specs):
-        l, st = yolo_head_loss(
-            raw, truths, s.mask, s.anchors, s.classes, net.width, net.height
-        )
+        if isinstance(s, YoloSpec):
+            l, st = yolo_head_loss(
+                raw, truths, s.mask, s.anchors, s.classes, net.width, net.height
+            )
+        else:
+            l, st = region_head_loss(raw, truths, s.anchors, s.classes)
         loss = loss + l
         all_stats.append(st)
     batch = heads[0].shape[0]
