@@ -1,0 +1,118 @@
+"""VOC/COCO writers, mAP, and weight-surgery tool tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolo_quantization_tpu.eval.valid import voc_map, write_coco_results, write_voc_results
+from yolo_quantization_tpu.infer.engine import Engine
+from yolo_quantization_tpu.models import weights_tools as wt
+from yolo_quantization_tpu.models import zoo
+from yolo_quantization_tpu.models.presets import flagship_program
+from yolo_quantization_tpu.nn.graph import init_params_numpy
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("valid")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        im = (rng.uniform(0, 1, (64, 64, 3)) * 255).astype(np.uint8)
+        p = root / "images" / f"im{i}.jpg"
+        Image.fromarray(im).save(p)
+        (root / "labels" / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        paths.append(str(p))
+    lf = root / "list.txt"
+    lf.write_text("\n".join(paths))
+    return str(lf), str(root)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(flagship_program(classes=5, size=64), max_det=32)
+
+
+class TestWriters:
+    def test_voc_files(self, dataset, engine, tmp_path_factory):
+        lf, _ = dataset
+        out = str(tmp_path_factory.mktemp("voc_out"))
+        files = write_voc_results(engine, lf, out, [f"c{i}" for i in range(5)])
+        assert len(files) == 5
+        content = open(files["c0"]).read().strip().splitlines()
+        if content:
+            parts = content[0].split()
+            assert len(parts) == 6
+            assert parts[0].startswith("im")
+            float(parts[1])
+
+    def test_coco_json(self, dataset, engine, tmp_path_factory):
+        lf, _ = dataset
+        out = os.path.join(str(tmp_path_factory.mktemp("coco_out")), "r.json")
+        write_coco_results(engine, lf, out)
+        data = json.load(open(out))
+        assert isinstance(data, list)
+        if data:
+            assert set(data[0]) == {"image_id", "category_id", "bbox", "score"}
+
+
+class TestMAP:
+    def test_map_runs_and_bounded(self, dataset, engine):
+        lf, _ = dataset
+        res = voc_map(engine, lf, 5)
+        assert 0.0 <= res["map"] <= 1.0
+        assert res["num_truths"][0] == 3
+
+    def test_perfect_detector_gets_map_1(self, dataset, monkeypatch, engine):
+        """Feed ground truth back as detections -> AP must be 1."""
+        lf, _ = dataset
+        import yolo_quantization_tpu.eval.valid as V
+
+        def fake_predict(engine_, path):
+            boxes = np.array([[0.5, 0.5, 0.4, 0.4]], np.float32)
+            return boxes, np.array([0.9], np.float32), np.ones((1, 5), np.float32), 64, 64
+
+        monkeypatch.setattr(V, "_predict", fake_predict)
+        res = V.voc_map(engine, lf, 5)
+        assert res["ap"][0] == pytest.approx(1.0)
+
+
+class TestWeightsTools:
+    def test_rgbgr_swaps_first_conv(self):
+        net = zoo.yolov3_tiny(classes=5, width=64, height=64)
+        params = init_params_numpy(0, net)
+        before = params[0]["w"].copy()
+        wt.rgbgr_net(net, params)
+        np.testing.assert_array_equal(params[0]["w"], before[:, :, ::-1, :])
+
+    def test_denormalize_preserves_function(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_quantization_tpu.nn.graph import forward
+
+        net = zoo.yolov3_tiny(classes=5, width=64, height=64)
+        params = init_params_numpy(0, net)
+        # non-trivial BN stats
+        rng = np.random.default_rng(1)
+        for p in params.values():
+            if "var" in p:
+                p["var"] = np.abs(rng.normal(1, 0.2, p["var"].shape)).astype(np.float32)
+                p["mean"] = rng.normal(0, 0.1, p["mean"].shape).astype(np.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        ref_heads, _ = forward(net, jax.tree.map(jnp.asarray, params), x)
+        wt.denormalize_net(net, params)
+        got_heads, _ = forward(net, jax.tree.map(jnp.asarray, params), x)
+        for a, b in zip(ref_heads, got_heads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_stats_output(self):
+        net = zoo.yolov3_tiny(classes=5, width=64, height=64)
+        params = init_params_numpy(0, net)
+        out = wt.statistics_net(net, params)
+        assert "layer   0" in out and "std" in out

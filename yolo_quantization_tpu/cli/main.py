@@ -240,6 +240,65 @@ def cmd_export(args):
     print(f"wrote {args.out} (quantized={qs is not None}, seen={int(state.step)})")
 
 
+def cmd_valid(args):
+    """VOC/COCO result writers + self-contained mAP (reference detector valid)."""
+    from yolo_quantization_tpu.eval.valid import voc_map, write_coco_results, write_voc_results
+
+    net, _ = _load_model(args)
+    engine = _engine_from(args, net)
+    if args.names:
+        with open(args.names) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    else:
+        names = [f"class{i}" for i in range(args.classes)]
+    if args.format == "voc":
+        files = write_voc_results(engine, args.test_list, args.out_dir, names,
+                                  max_images=args.max_images)
+        print(f"wrote {len(files)} VOC result files to {args.out_dir}")
+    elif args.format == "coco":
+        out = write_coco_results(
+            engine, args.test_list,
+            __import__("os").path.join(args.out_dir, "coco_results.json"),
+            max_images=args.max_images,
+        )
+        print(f"wrote {out}")
+    if args.map:
+        res = voc_map(engine, args.test_list, len(names), max_images=args.max_images)
+        for c, ap in zip(names, res["ap"]):
+            print(f"  AP {c}: {100 * ap:.2f}" if ap == ap else f"  AP {c}: n/a (no truths)")
+        print(f"mAP@0.5 = {100 * res['map']:.2f}")
+
+
+def cmd_weights_tool(args):
+    """Weight surgery (reference examples/darknet.c utilities)."""
+    from yolo_quantization_tpu.models import weights_tools as wt
+    from yolo_quantization_tpu.models.darknet_weights import (
+        load_darknet_weights,
+        save_darknet_weights,
+    )
+
+    net, _ = _load_model(args)
+    ckpt = load_darknet_weights(args.weights, net)
+    params = ckpt.params
+    if args.op == "print":
+        print(wt.print_weights(net, params, args.layer))
+        return
+    if args.op == "stats":
+        print(wt.statistics_net(net, params))
+        return
+    if args.op == "rgbgr":
+        wt.rgbgr_net(net, params)
+    elif args.op == "rescale":
+        wt.rescale_net(net, params, args.scale)
+    elif args.op == "denormalize":
+        wt.denormalize_net(net, params)
+    else:
+        raise SystemExit(f"unknown op {args.op}")
+    out = args.out or args.weights
+    save_darknet_weights(out, net, params, seen=ckpt.seen)
+    print(f"applied {args.op}, wrote {out}")
+
+
 def cmd_bench(args):
     import bench
 
@@ -297,6 +356,26 @@ def build_parser():
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("valid", help="VOC/COCO result writers + mAP")
+    common(sp)
+    sp.add_argument("--test-list", required=True)
+    sp.add_argument("--out-dir", default="results")
+    sp.add_argument("--format", choices=("voc", "coco", "none"), default="voc")
+    sp.add_argument("--names", help="class names file")
+    sp.add_argument("--map", action="store_true", help="also compute mAP@0.5")
+    sp.add_argument("--max-images", type=int)
+    sp.set_defaults(fn=cmd_valid)
+
+    sp = sub.add_parser("weights-tool", help="weight surgery (print/stats/rgbgr/rescale/denormalize)")
+    common(sp, weights=False)
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--op", required=True,
+                    choices=("print", "stats", "rgbgr", "rescale", "denormalize"))
+    sp.add_argument("--layer", type=int, default=0)
+    sp.add_argument("--scale", type=float, default=1.0)
+    sp.add_argument("--out", help="output weights file (default: overwrite input)")
+    sp.set_defaults(fn=cmd_weights_tool)
 
     sp = sub.add_parser("bench", help="run the TPU benchmark")
     sp.set_defaults(fn=cmd_bench)
