@@ -55,8 +55,8 @@ def _row_tile(w_out: int, h_out: int) -> int:
 def _qconv_kernel(
     x_ref,      # (1, Hp, Wp, Ci) int8, whole padded image (VMEM)
     w_ref,      # (K, K, Ci, TCO) int8
-    bias_ref,   # (TCO,) int32
-    m_ref,      # (TCO,) float32
+    bias_ref,   # (1, TCO) int32   (2-D: 1-D operands trip XLA/Mosaic layout
+    m_ref,      # (1, TCO) float32  mismatches for multi-tile channel dims)
     out_ref,    # (1, TH, Wo, TCO) uint8
     *,
     k: int,
@@ -81,14 +81,15 @@ def _qconv_kernel(
                 preferred_element_type=jnp.int32,
             )
     v = jnp.round(
-        (acc + bias_ref[:].reshape(1, tco)).astype(jnp.float32)
-        * m_ref[:].reshape(1, tco)
+        (acc + bias_ref[0, :].reshape(1, tco)).astype(jnp.float32)
+        * m_ref[0, :].reshape(1, tco)
     )
     if act == ACT_LEAKY:
         v = jnp.where(v < 0, jnp.round(v * 0.1), v)
     elif act in (ACT_RELU, ACT_RELU6):
         v = jnp.maximum(v, 0.0)
-    v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.uint8)
+    # Mosaic has no f32->u8 cast; round-trip through int32 (clip keeps range)
+    v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
     out_ref[0, :, :, :] = v.reshape(th, w_out, tco)
 
 
@@ -147,8 +148,8 @@ def pallas_quantized_conv2d(
                 (k, k, ci, tco), lambda nn, ii, jj: (0, 0, 0, jj),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((tco,), lambda nn, ii, jj: (jj,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tco,), lambda nn, ii, jj: (jj,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tco), lambda nn, ii, jj: (0, jj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tco), lambda nn, ii, jj: (0, jj), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, th, w_out, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
@@ -156,4 +157,4 @@ def pallas_quantized_conv2d(
         ),
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, co), jnp.uint8),
         interpret=interpret,
-    )(x_i8, w_i8, bias_i32, m)
+    )(x_i8, w_i8, bias_i32.reshape(1, -1), m.reshape(1, -1))
