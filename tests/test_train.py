@@ -117,3 +117,18 @@ class TestDataParallel:
             state.params, new_state.params,
         )
         assert sum(v for p in d.values() for v in p.values()) > 0
+
+
+class TestYolov2Training:
+    def test_region_trainer_step(self):
+        """Trainer works end-to-end on a region-head (yolov2) model."""
+        net = zoo.yolov2_tiny(classes=3, width=96, height=96)
+        cfg = TrainConfig(burn_in=0, quant_start_step=10**9, learning_rate=1e-3)
+        trainer = Trainer(net, cfg, key=jax.random.PRNGKey(0))
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 1.0)])
+        losses = [float(trainer.step(images, truths)["loss"]) for _ in range(25)]
+        assert np.isfinite(losses).all()
+        # early steps oscillate (momentum + object_scale 5); converged tail
+        # must sit well below the start
+        assert np.mean(losses[-5:]) < losses[0] * 0.6, losses

@@ -29,11 +29,17 @@ def _load_model(args):
         return cfgmod.load_cfg(args.cfg)
     size = getattr(args, "size", 416)
     classes = getattr(args, "classes", 5)
-    if args.model == "yolov3-tiny":
-        return zoo.yolov3_tiny(classes=classes, width=size, height=size), TrainConfig()
-    if args.model == "yolov3":
-        return zoo.yolov3(classes=classes, width=size, height=size), TrainConfig()
-    raise SystemExit(f"unknown model {args.model!r}; pass --cfg or --model")
+    builders = {
+        "yolov3-tiny": zoo.yolov3_tiny,
+        "yolov3": zoo.yolov3,
+        "yolov2-tiny": zoo.yolov2_tiny,
+        "yolov2": zoo.yolov2,
+    }
+    if args.model in builders:
+        return builders[args.model](classes=classes, width=size, height=size), TrainConfig()
+    raise SystemExit(
+        f"unknown model {args.model!r}; pass --cfg or one of {sorted(builders)}"
+    )
 
 
 def _engine_from(args, net):
