@@ -8,8 +8,9 @@ examples/detector.c:952-997):
   python -m yolo_quantization_tpu.cli bench
 
 Models come from darknet cfg files (models/cfg.py) or the built-in zoo
-(--model yolov3-tiny|yolov3); weights from darknet .weights files
-(models/darknet_weights.py) or Orbax checkpoints (train/checkpoint.py).
+(--model yolov3-tiny|yolov3|yolov2-tiny|yolov2); weights from darknet
+.weights files (models/darknet_weights.py) or Orbax checkpoints
+(train/checkpoint.py).
 """
 
 from __future__ import annotations
