@@ -62,6 +62,10 @@ def _engine_from(args, net):
             return FloatEngine(net, params)
         return Engine(convert(net, params, qs))
 
+    if getattr(args, "program", None):
+        from yolo_quantization_tpu.infer.serialize import load_program
+
+        return Engine(load_program(args.program))
     if args.weights:
         from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
 
@@ -227,6 +231,30 @@ def cmd_f1(args):
                 )
 
 
+def cmd_export_program(args):
+    """Checkpoint/weights -> self-contained integer program (.npz)."""
+    from yolo_quantization_tpu.infer.convert import convert
+    from yolo_quantization_tpu.infer.serialize import save_program
+
+    net, _ = _load_model(args)
+    if args.weights:
+        from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
+
+        ckpt = load_darknet_weights(args.weights, net)
+        params, qs = ckpt.params, ckpt.quant_state
+    else:
+        import jax
+
+        from yolo_quantization_tpu.train.checkpoint import restore_checkpoint
+        from yolo_quantization_tpu.train.qat import TrainConfig, init_train_state
+
+        template = init_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+        state = restore_checkpoint(args.ckpt, template)
+        params, qs = state.params, state.quant_state
+    save_program(args.out, convert(net, params, qs))
+    print(f"wrote integer program {args.out}")
+
+
 def cmd_export(args):
     """Orbax checkpoint -> darknet .weights (with quant extension)."""
     import jax
@@ -326,6 +354,8 @@ def build_parser():
             sp.add_argument("--ckpt", help="orbax checkpoint dir")
             sp.add_argument("--float", action="store_true",
                             help="force float inference (close_quantization)")
+            sp.add_argument("--program",
+                            help="pre-converted integer program (.npz)")
 
     sp = sub.add_parser("train", help="QAT training")
     common(sp, weights=False)
@@ -363,6 +393,11 @@ def build_parser():
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("export-program", help="build a deployable integer program (.npz)")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_export_program)
 
     sp = sub.add_parser("valid", help="VOC/COCO result writers + mAP")
     common(sp)
