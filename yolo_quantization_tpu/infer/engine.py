@@ -53,17 +53,69 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
     XLA path.  Toggle per deployment after benchmarking — the two are
     bit-identical (tests/test_pallas_qconv.py).
     """
+    from yolo_quantization_tpu.nn.graph import MaxPoolSpec, RouteSpec, ShortcutSpec
     from yolo_quantization_tpu.ops.pallas_qconv import pallas_quantized_conv2d
 
     net = program.net
     cfg = program.cfg
 
+    def _referenced_elsewhere(i: int) -> bool:
+        """Is layer i's output consumed by anything besides layer i+1?"""
+        for spec in net.specs:
+            if isinstance(spec, RouteSpec) and i in spec.layers:
+                return True
+            if isinstance(spec, ShortcutSpec) and spec.index == i:
+                return True
+        return False
+
+    # conv+maxpool fusion plan: a Pallas-eligible conv whose only consumer is
+    # the immediately following size-2/stride-2 maxpool runs as one kernel
+    # (bit-identical; halves the conv output's HBM traffic)
+    fused_into_next: set[int] = set()
+    if use_pallas:
+        for i, c in enumerate(cfg[:-1]):
+            nxt = cfg[i + 1].spec
+            if (
+                c.kind == "qconv"
+                and c.symmetric_w
+                and not c.quant_stop
+                and c.spec.stride == 1
+                and isinstance(nxt, MaxPoolSpec)
+                and nxt.size == 2
+                and nxt.stride == 2
+                and nxt.padding == 1
+                and not _referenced_elsewhere(i)
+            ):
+                fused_into_next.add(i)
+
     def forward(arrays, x):
         x = _quantize_input(x, program.in_scale, program.in_zp)
         outputs = []
         heads = []
+        skip_next = False
         for i, c in enumerate(cfg):
             s = c.spec
+            if skip_next:
+                # this maxpool was fused into the previous conv kernel
+                skip_next = False
+                outputs.append(outputs[-1])
+                continue
+            if i in fused_into_next:
+                a = arrays[i]
+                if x.dtype != jnp.uint8:
+                    qp = c.in_scales[0]
+                    x = _quantize_input(x, qp[0], qp[1])
+                y = pallas_quantized_conv2d(
+                    x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
+                    stride=1, pad=s.pad, act=c.act,
+                    out_zp_static=int(c.out_zp), fuse_pool=True,
+                )
+                # outputs[i] is the (unavailable) pre-pool tensor; the fusion
+                # plan guarantees nothing references it
+                outputs.append(y)
+                x = y
+                skip_next = True
+                continue
             if c.kind == "qconv":
                 a = arrays[i]
                 if x.dtype != jnp.uint8:

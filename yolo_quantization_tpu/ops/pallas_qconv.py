@@ -57,13 +57,14 @@ def _qconv_kernel(
     w_ref,      # (K, K, Ci, TCO) int8
     bias_ref,   # (1, TCO) int32   (2-D: 1-D operands trip XLA/Mosaic layout
     m_ref,      # (1, TCO) float32  mismatches for multi-tile channel dims)
-    out_ref,    # (1, TH, Wo, TCO) uint8
+    out_ref,    # (1, TH, Wo, TCO) uint8 — or (1, TH/2, Wo/2, TCO) when pooled
     *,
     k: int,
     th: int,
     w_out: int,
     act: int,
     out_zp: int,
+    pool: bool = False,
 ):
     i = pl.program_id(1)  # row-tile index
     ci = x_ref.shape[3]
@@ -90,12 +91,23 @@ def _qconv_kernel(
         v = jnp.maximum(v, 0.0)
     # Mosaic has no f32->u8 cast; round-trip through int32 (clip keeps range)
     v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
-    out_ref[0, :, :, :] = v.reshape(th, w_out, tco)
+    v = v.reshape(th, w_out, tco)
+    if pool:
+        # fused 2x2/stride-2 maxpool: conv output never touches HBM.
+        # max on codes is exact (scale-invariant); non-overlapping windows
+        # because darknet's size-2/stride-2 pool on even maps has offset 0.
+        v = v.reshape(th // 2, 2, w_out // 2, 2, tco)
+        v = jnp.maximum(v[:, 0], v[:, 1])           # (th/2, w/2, 2, tco)
+        v = jnp.maximum(v[:, :, 0], v[:, :, 1])     # (th/2, w/2, tco)
+        out_ref[0, :, :, :] = v
+    else:
+        out_ref[0, :, :, :] = v
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stride", "pad", "act", "out_zp_static", "interpret"),
+    static_argnames=("stride", "pad", "act", "out_zp_static", "fuse_pool",
+                     "interpret"),
 )
 def pallas_quantized_conv2d(
     x_u8: jax.Array,
@@ -108,17 +120,26 @@ def pallas_quantized_conv2d(
     pad: int = 0,
     act: int = ACT_LINEAR,
     out_zp_static: int = 0,
+    fuse_pool: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused uint8 conv (symmetric weights, stride 1).  Same math as
     ops.qconv.quantized_conv2d(symmetric=True) — bit-identical up to the f32
-    rounding already shared by both paths."""
+    rounding already shared by both paths.
+
+    ``fuse_pool`` additionally applies the following darknet size-2/stride-2
+    maxpool inside the kernel epilogue (valid for even conv output dims; max
+    on uint8 codes is scale-invariant so the fused result is bit-identical to
+    conv-then-pool), halving the HBM traffic of the conv's output.
+    """
     if stride != 1:
         raise NotImplementedError("pallas path covers stride-1; use XLA fallback")
     n, h, w, ci = x_u8.shape
     k, _, _, co = w_i8.shape
     h_out = h + 2 * pad - k + 1
     w_out = w + 2 * pad - k + 1
+    if fuse_pool and (h_out % 2 or w_out % 2):
+        raise ValueError("fuse_pool requires even conv output dims")
 
     x_i8 = u8_to_i8(x_u8)
     if pad:
@@ -129,12 +150,27 @@ def pallas_quantized_conv2d(
         )
 
     th = _row_tile(w_out, h_out)
+    if fuse_pool:
+        th = max(2, th - (th % 2))  # row tiles must cover whole pool windows
     tco = min(co, 128)
     grid = (n, pl.cdiv(h_out, th), pl.cdiv(co, tco))
 
     kernel = functools.partial(
-        _qconv_kernel, k=k, th=th, w_out=w_out, act=act, out_zp=out_zp_static
+        _qconv_kernel, k=k, th=th, w_out=w_out, act=act, out_zp=out_zp_static,
+        pool=fuse_pool,
     )
+    if fuse_pool:
+        out_shape = jax.ShapeDtypeStruct((n, h_out // 2, w_out // 2, co), jnp.uint8)
+        out_spec = pl.BlockSpec(
+            (1, th // 2, w_out // 2, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((n, h_out, w_out, co), jnp.uint8)
+        out_spec = pl.BlockSpec(
+            (1, th, w_out, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
+            memory_space=pltpu.VMEM,
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -151,10 +187,7 @@ def pallas_quantized_conv2d(
             pl.BlockSpec((1, tco), lambda nn, ii, jj: (0, jj), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tco), lambda nn, ii, jj: (0, jj), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, w_out, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, co), jnp.uint8),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(x_i8, w_i8, bias_i32.reshape(1, -1), m.reshape(1, -1))
