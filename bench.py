@@ -23,13 +23,13 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 1.0 / 0.34  # reference README.md:58
 
 
-def _build():
+def _build(use_pallas: bool = False):
     from yolo_quantization_tpu.eval import detect
     from yolo_quantization_tpu.infer.engine import build_forward
     from yolo_quantization_tpu.models.presets import flagship_program
 
     program = flagship_program()
-    fwd = build_forward(program)
+    fwd = build_forward(program, use_pallas=use_pallas)
     arrays = jax.device_put(program.arrays)
     net = program.net
 
@@ -77,17 +77,30 @@ def latency_batch1(run, arrays, iters: int = 20) -> float:
 
 
 def main():
-    run, arrays = _build()
-    tp128 = throughput(run, arrays, batch=128)
+    # measure both conv paths (XLA conv vs hand-fused Pallas kernels, which
+    # are bit-identical) and report the best
+    run_xla, arrays = _build(use_pallas=False)
+    tp_xla = throughput(run_xla, arrays, batch=128)
+    try:
+        run_pl, arrays_pl = _build(use_pallas=True)
+        tp_pallas = throughput(run_pl, arrays_pl, batch=128)
+    except Exception as e:  # pallas compile issues must not sink the bench
+        print(f"# pallas path failed: {type(e).__name__}: {e}", flush=True)
+        tp_pallas = 0.0
+    best_is_pallas = tp_pallas > tp_xla
+    run = run_pl if best_is_pallas else run_xla
+    arrays = arrays_pl if best_is_pallas else arrays
     p50 = latency_batch1(run, arrays)
-    images_per_sec = tp128
+    images_per_sec = max(tp_xla, tp_pallas)
     result = {
         "metric": "yolov3-tiny uint8 416x416 inference throughput (1 chip)",
         "value": round(images_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMG_PER_SEC, 1),
         "p50_latency_batch1_ms": round(p50 * 1e3, 3),
-        "images_per_sec_batch128": round(tp128, 1),
+        "images_per_sec_xla": round(tp_xla, 1),
+        "images_per_sec_pallas": round(tp_pallas, 1),
+        "conv_path": "pallas" if best_is_pallas else "xla",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -89,18 +89,11 @@ def test_engine_fusion_plan_bit_identical(rng):
 
     arrays = jax.device_put(prog.arrays)
     ref = build_forward(prog, use_pallas=False)(arrays, jnp.asarray(x))
-    # interpret-mode pallas on CPU: monkeypatch not needed — engine passes
-    # interpret via default False; run fused path under interpret by calling
-    # build_forward with use_pallas on CPU requires interpret kernels, so
-    # emulate by checking the fusion plan only when on TPU.  Here just check
-    # the plan selects the right layers.
-    from yolo_quantization_tpu.nn.graph import MaxPoolSpec
-
-    fused = []
-    for i, c in enumerate(prog.cfg[:-1]):
-        nxt = prog.cfg[i + 1].spec
-        if c.kind == "qconv" and isinstance(nxt, MaxPoolSpec) and nxt.stride == 2:
-            fused.append(i)
+    got = build_forward(prog, use_pallas=True, pallas_interpret=True)(
+        arrays, jnp.asarray(x)
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # layers 0,2,4,6 fusable; 8 is route-referenced, 10's pool is stride 1
     assert 8 not in _engine_plan(prog)
     assert {0, 2, 4, 6} <= set(_engine_plan(prog))

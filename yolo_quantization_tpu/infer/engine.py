@@ -42,7 +42,8 @@ def _requant_u8(x_u8: jax.Array, ratio: float, zp_in: int, zp_out: int) -> jax.A
     return jnp.clip(v, 0, 255).astype(jnp.uint8)
 
 
-def build_forward(program: IntProgram, use_pallas: bool = False):
+def build_forward(program: IntProgram, use_pallas: bool = False,
+                  pallas_interpret: bool = False):
     """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
 
     The layer loop is unrolled at trace time (specs are static); XLA fuses
@@ -109,6 +110,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
                     x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
                     stride=1, pad=s.pad, act=c.act,
                     out_zp_static=int(c.out_zp), fuse_pool=True,
+                    interpret=pallas_interpret,
                 )
                 # outputs[i] is the (unavailable) pre-pool tensor; the fusion
                 # plan guarantees nothing references it
@@ -128,6 +130,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False):
                         x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
                         stride=1, pad=s.pad, act=c.act,
                         out_zp_static=int(c.out_zp),
+                        interpret=pallas_interpret,
                     )
                 else:
                     y = qconv.quantized_conv2d(
