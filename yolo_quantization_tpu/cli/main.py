@@ -334,6 +334,52 @@ def cmd_weights_tool(args):
     print(f"applied {args.op}, wrote {out}")
 
 
+def cmd_demo(args):
+    """Streaming demo over a directory of frames (the reference's OpenCV
+    video demo analog, src/image_opencv.cpp, without a display): continuous
+    batching via the Server, annotated frames written to --out-dir."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from yolo_quantization_tpu.data.image import load_image_rgb
+    from yolo_quantization_tpu.infer.serving import Server
+
+    net, _ = _load_model(args)
+    engine = _engine_from(args, net)
+    server = Server(engine, batch_size=args.batch_size, max_delay_ms=10)
+    frames = sorted(
+        f for pat in ("*.jpg", "*.jpeg", "*.png")
+        for f in glob.glob(os.path.join(args.frames, pat))
+    )
+    if not frames:
+        raise SystemExit(f"no frames found in {args.frames}")
+    os.makedirs(args.out_dir, exist_ok=True)
+    t0 = time.time()
+    futures = []
+    images = []
+    for f in frames:
+        im = load_image_rgb(f)
+        images.append(im)
+        futures.append(server.submit(im, thresh=args.thresh))
+    for f, im, fut in zip(frames, images, futures):
+        dets = fut.result(timeout=600)
+        out = os.path.join(args.out_dir, os.path.basename(f))
+        boxes = np.array([d.box for d in dets]) if dets else np.zeros((0, 4))
+        objs = np.array([d.objectness for d in dets]) if dets else np.zeros(0)
+        _draw(im, boxes, objs, 0.0, out)
+    dt = time.time() - t0
+    stats = server.stats
+    server.close()
+    print(
+        f"{len(frames)} frames in {dt:.2f}s ({len(frames) / dt:.1f} fps), "
+        f"{stats['batches']} batches, avg fill "
+        f"{stats['batch_fill_sum'] / max(stats['batches'], 1):.2f}; "
+        f"annotated frames in {args.out_dir}"
+    )
+
+
 def cmd_bench(args):
     import bench
 
@@ -418,6 +464,14 @@ def build_parser():
     sp.add_argument("--scale", type=float, default=1.0)
     sp.add_argument("--out", help="output weights file (default: overwrite input)")
     sp.set_defaults(fn=cmd_weights_tool)
+
+    sp = sub.add_parser("demo", help="streaming demo over a frames directory")
+    common(sp)
+    sp.add_argument("--frames", required=True, help="directory of jpg/png frames")
+    sp.add_argument("--out-dir", default="demo_out")
+    sp.add_argument("--thresh", type=float, default=0.5)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.set_defaults(fn=cmd_demo)
 
     sp = sub.add_parser("bench", help="run the TPU benchmark")
     sp.set_defaults(fn=cmd_bench)

@@ -60,6 +60,30 @@ def _predict_image(engine, path: str):
     return boxes, obj[0], cls[0]
 
 
+def predict_batched(engine, paths: list[str], batch_size: int = 16):
+    """Run a path list through the engine in fixed-size batches (padded), so
+    eval amortizes dispatch/compile — the reference evaluates strictly one
+    image per forward (examples/detector.c:805).  Yields per-image
+    (boxes_rel_to_image, obj, cls)."""
+    net = engine.program.net
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start : start + batch_size]
+        sizes = []
+        batch = np.zeros((batch_size, net.height, net.width, 3), np.float32)
+        for k, p in enumerate(chunk):
+            im = load_image_rgb(p)
+            sizes.append(im.shape[:2])
+            batch[k] = native.letterbox(im, net.width, net.height)
+        boxes, obj, cls = engine.predict(batch)
+        for k in range(len(chunk)):
+            h, w = sizes[k]
+            yield (
+                detect.correct_boxes(boxes[k], w, h, net.width, net.height),
+                obj[k],
+                cls[k],
+            )
+
+
 def f1_sweep(
     engine,
     list_file: str,
@@ -72,10 +96,9 @@ def f1_sweep(
     paths = read_image_list(list_file)
     if max_images:
         paths = paths[:max_images]
-    # run the network once per image; reuse detections across thresholds
+    # run the network once per image (batched); reuse detections across thresholds
     cache = []
-    for p in paths:
-        boxes, obj, cls = _predict_image(engine, p)
+    for p, (boxes, obj, _cls) in zip(paths, predict_batched(engine, paths)):
         truths = read_boxes(label_path_for(p))
         cache.append((boxes, obj, truths))
 
