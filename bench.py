@@ -79,8 +79,17 @@ def latency_batch1(run, arrays, iters: int = 20) -> float:
 def main():
     # measure both conv paths (XLA conv vs hand-fused Pallas kernels, which
     # are bit-identical) and report the best
-    run_xla, arrays = _build(use_pallas=False)
-    tp_xla = throughput(run_xla, arrays, batch=128)
+    try:
+        run_xla, arrays = _build(use_pallas=False)
+        tp_xla = throughput(run_xla, arrays, batch=128)
+    except Exception as e:  # still emit a JSON line if the device is sick
+        print(f"# xla path failed: {type(e).__name__}: {e}", flush=True)
+        print(json.dumps({
+            "metric": "yolov3-tiny uint8 416x416 inference throughput (1 chip)",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }))
+        return
     try:
         run_pl, arrays_pl = _build(use_pallas=True)
         tp_pallas = throughput(run_pl, arrays_pl, batch=128)
