@@ -259,10 +259,18 @@ def region_head_loss(
     return total, stats
 
 
-def total_loss(heads, truths, net):
-    """Sum of per-head losses over every detection head of a NetworkDef."""
+def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None):
+    """Sum of per-head losses over every detection head of a NetworkDef.
+
+    ``input_hw`` is the ACTUAL input resolution this batch ran at — under
+    multi-scale training it differs from net.width/height (darknet reshapes
+    the whole net via resize_network, examples/detector.c:65-84; here the
+    graph is shape-polymorphic and only the anchor scaling needs the real
+    resolution).  Defaults to the NetworkDef's nominal size.
+    """
     from yolo_quantization_tpu.nn.graph import RegionSpec, YoloSpec
 
+    net_h, net_w = input_hw if input_hw is not None else (net.height, net.width)
     specs = [
         s for s in net.specs if isinstance(s, (YoloSpec, RegionSpec))
     ]
@@ -271,7 +279,7 @@ def total_loss(heads, truths, net):
     for raw, s in zip(heads, specs):
         if isinstance(s, YoloSpec):
             l, st = yolo_head_loss(
-                raw, truths, s.mask, s.anchors, s.classes, net.width, net.height
+                raw, truths, s.mask, s.anchors, s.classes, net_w, net_h
             )
         else:
             l, st = region_head_loss(raw, truths, s.anchors, s.classes)

@@ -104,7 +104,8 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
 
     def loss_fn(params, quant_state, images, truths):
         heads, aux = forward(net, params, images, mode, quant_state)
-        loss, _ = total_loss(heads, truths, net)
+        # actual batch resolution (multi-scale aware), static under jit
+        loss, _ = total_loss(heads, truths, net, input_hw=images.shape[1:3])
         return loss, aux
 
     @jax.jit
