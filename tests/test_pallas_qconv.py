@@ -29,7 +29,9 @@ def make_inputs(rng, n=1, h=13, ci=32, co=64, k=3):
         (13, 256, 30, 1, 0, ACT_LINEAR),
         (26, 16, 48, 3, 1, ACT_RELU6),
         (20, 8, 130, 3, 1, ACT_LINEAR),   # co > lane tile -> 2 channel tiles
-        (52, 16, 32, 3, 1, ACT_RELU6),    # multiple row tiles
+        (52, 16, 32, 3, 1, ACT_RELU6),
+        (72, 8, 16, 3, 1, ACT_LINEAR),    # partial last row tile (72 % 56 != 0)
+        (96, 12, 24, 3, 1, ACT_LEAKY),    # multiple row tiles w/ partial tail
     ],
 )
 def test_matches_xla_path(rng, h, ci, co, k, pad, act):
@@ -61,10 +63,11 @@ def test_batch_dimension(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_fused_pool_matches_conv_then_pool(rng):
+@pytest.mark.parametrize("h", [16, 72])  # 72: partial row tiles
+def test_fused_pool_matches_conv_then_pool(rng, h):
     from yolo_quantization_tpu.nn.layers import maxpool_u8
 
-    x, w, bias, m = make_inputs(rng, h=16, ci=16, co=32, k=3)
+    x, w, bias, m = make_inputs(rng, h=h, ci=16, co=32, k=3)
     x_zp = jnp.int32(5)
     conv = pallas_quantized_conv2d(
         x, w, bias, m, x_zp, stride=1, pad=1, act=ACT_LEAKY,

@@ -175,12 +175,29 @@ class TestQuantizeMultiplier:
         np.testing.assert_allclose(back, m, rtol=2e-9)
         assert np.all(m0 >= (1 << 30)) and np.all(m0 < (1 << 31))
 
-    def test_rejects_out_of_range(self):
+    def test_rejects_nonpositive(self):
         with pytest.raises(ValueError):
-            quantize_multiplier(np.array([1.5]))
+            quantize_multiplier(np.array([0.0]))
+
+    def test_multiplier_above_one_uses_left_shift(self):
+        # TFLite-style: M >= 1 encodes with a negative right_shift
+        m0, shift = quantize_multiplier(np.array([1.5, 3.0]))
+        assert (shift < 0).all()
+        back = multiplier_from_fixed(m0, shift)
+        np.testing.assert_allclose(back, [1.5, 3.0], rtol=1e-9)
+        # and the fixed-point reference implementation honors it
+        acc = np.arange(-1000, 1000, dtype=np.int64)
+        out = requantize_fixed_np(acc, m0[0], shift[0])
+        np.testing.assert_allclose(out, np.round(acc * 1.5), atol=1)
 
 
 class TestRequantize:
+    def test_negative_values_truncate_like_gemmlowp(self):
+        # gemmlowp divides by 2^31 with truncation toward zero: acc=-1,
+        # M0=2^30, shift=0 must give 0 (a flooring shift would give -1)
+        out = requantize_fixed_np(np.array([-1]), np.int32(1 << 30), np.int32(0))
+        assert out[0] == 0
+
     def test_fixed_point_matches_real_multiply(self, rng):
         acc = rng.integers(-(2**27), 2**27, size=(4096,), dtype=np.int64)
         m = rng.uniform(1e-4, 0.9, size=())

@@ -230,7 +230,7 @@ def ema_update(
 
 
 def quantize_multiplier(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode real multipliers M in (0, 1) as (M0 int32, right_shift).
+    """Encode real multipliers M > 0 as (M0 int32, right_shift).
 
     M ~= M0 * 2^-31 * 2^-right_shift with M0 in [2^30, 2^31).  This is the
     gemmlowp encoding the reference uses to serialize requant multipliers
@@ -238,17 +238,21 @@ def quantize_multiplier(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     jitted.  np.frexp gives M = mant * 2^exp with mant in [0.5, 1), so
     right_shift = -exp and M0 = round(mant * 2^31), with the mant==1.0
     rounding edge case folded back (reference src/blas.c:410-413).
+
+    Unlike the reference (which asserts M < 1, src/blas.c:391-392), M >= 1
+    is supported via a NEGATIVE right_shift (a left shift) — TFLite does the
+    same; legitimate QAT checkpoints with narrow output ranges produce M
+    slightly above 1.
     """
     m = np.asarray(m, dtype=np.float64)
-    if np.any(m <= 0.0) or np.any(m >= 1.0):
-        raise ValueError(f"multipliers must be in (0,1); got range [{m.min()}, {m.max()}]")
+    if np.any(m <= 0.0):
+        raise ValueError(f"multipliers must be > 0; got min {m.min()}")
     mant, exp = np.frexp(m)  # m = mant * 2**exp, mant in [0.5, 1)
     shift = (-exp).astype(np.int32)
     q = np.round(mant * (1 << 31)).astype(np.int64)
     overflow = q == (1 << 31)
     q = np.where(overflow, q >> 1, q)
     shift = np.where(overflow, shift - 1, shift).astype(np.int32)
-    assert np.all(shift >= 0), "multiplier >= 1 after nudge"
     return q.astype(np.int32), shift
 
 
@@ -282,13 +286,20 @@ def requantize_fixed_np(acc: np.ndarray, m0: np.ndarray, shift: np.ndarray) -> n
     acc = np.asarray(acc, dtype=np.int64)
     m0 = np.asarray(m0, dtype=np.int64)
     shift = np.asarray(shift, dtype=np.int64)
-    # Doubling high mul with round-half-away-from-zero on the 2^31 divide.
+    # Doubling high mul: gemmlowp divides (prod + nudge) by 2^31 with C++
+    # TRUNCATION toward zero, not an arithmetic (flooring) right shift —
+    # they differ on negative values.
     prod = acc * m0  # fits in int64: |acc| < 2^31, m0 < 2^31
     nudge = np.where(prod >= 0, 1 << 30, 1 - (1 << 30))
-    high = (prod + nudge) >> 31
-    # Rounding right shift (round half away from zero).
-    mask = (np.int64(1) << shift) - 1
+    summed = prod + nudge
+    high = np.sign(summed) * (np.abs(summed) >> 31)
+    # Negative shift = left shift (M >= 1 encodings).
+    left = np.maximum(-shift, 0)
+    rs = np.maximum(shift, 0)
+    high = high << left
+    # Rounding right shift (gemmlowp RoundingDivideByPOT).
+    mask = (np.int64(1) << rs) - 1
     remainder = high & mask
     threshold = (mask >> 1) + np.where(high < 0, 1, 0)
-    out = (high >> shift) + np.where(remainder > threshold, 1, 0)
+    out = (high >> rs) + np.where(remainder > threshold, 1, 0)
     return out.astype(np.int32)

@@ -45,7 +45,7 @@ from yolo_quantization_tpu.nn.graph import (
     UpsampleSpec,
     YoloSpec,
 )
-from yolo_quantization_tpu.ops.qconv import ACTIVATION_BY_NAME
+from yolo_quantization_tpu.ops.qconv import ACTIVATION_BY_NAME, fold_static_bias
 
 BN_EPS = 1e-6  # matches nn/layers.py and reference src/blas.c:576
 
@@ -197,10 +197,7 @@ def convert(
             # int8-shifted domain used by the MXU kernels
             x_zp_s = zp_in - 128
             w_zp_s = zp_w - 128
-            kk = w.shape[0] * w.shape[1] * w.shape[2]
-            wsum = w_i8.astype(np.int64).sum(axis=(0, 1, 2))
-            static = -x_zp_s * wsum + kk * x_zp_s * w_zp_s
-            bias_i32 = (np.round(bias / (s_in * s_w)) + static).astype(np.int32)
+            bias_i32 = fold_static_bias(bias, s_in, s_w, x_zp_s, w_zp_s, w_i8)
 
             m = (s_in * s_w / so).astype(np.float64)
             m0, shift = quantize_multiplier(m)

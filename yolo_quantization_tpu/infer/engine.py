@@ -71,16 +71,21 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
 
     # conv+maxpool fusion plan: a Pallas-eligible conv whose only consumer is
     # the immediately following size-2/stride-2 maxpool runs as one kernel
-    # (bit-identical; halves the conv output's HBM traffic)
+    # (bit-identical; halves the conv output's HBM traffic).  Requires even
+    # conv output dims (whole pool windows) — odd maps fall back to unfused.
     fused_into_next: set[int] = set()
     if use_pallas:
+        shapes = net.shapes()
         for i, c in enumerate(cfg[:-1]):
             nxt = cfg[i + 1].spec
+            oh, ow, _ = shapes[i]
             if (
                 c.kind == "qconv"
                 and c.symmetric_w
                 and not c.quant_stop
                 and c.spec.stride == 1
+                and oh % 2 == 0
+                and ow % 2 == 0
                 and isinstance(nxt, MaxPoolSpec)
                 and nxt.size == 2
                 and nxt.stride == 2
@@ -185,6 +190,10 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 f = L.activate(fx + fk, s.activation)
                 y = _quantize_input(f, c.out_scale, c.out_zp) if c.kind == "shortcut" else f
             elif c.kind == "yolo":
+                if x.dtype == jnp.uint8:
+                    # quantized pre-head conv without quant_stop: the decoder
+                    # needs reals, so dequantize with the producer's params
+                    x = (x.astype(jnp.float32) - c.out_zp) * c.out_scale
                 y = x
                 heads.append(x)
             elif c.kind == "simple":
@@ -228,6 +237,7 @@ class Engine:
             return detect.top_k_detections(boxes, obj, cls, self.max_det)
 
         self._run = _run
+        self._raw_heads = jax.jit(fwd)
 
     def predict(self, images: np.ndarray):
         """images: (N, H, W, 3) float32 letterboxed to the network size."""
@@ -241,6 +251,5 @@ class Engine:
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 
     def raw_heads(self, images: np.ndarray):
-        fwd = build_forward(self.program, use_pallas=self.use_pallas)
-        heads = jax.jit(fwd)(self.arrays, jnp.asarray(images))
+        heads = self._raw_heads(self.arrays, jnp.asarray(images))
         return [np.asarray(h) for h in heads]

@@ -31,6 +31,9 @@ class FloatEngine:
             return detect.top_k_detections(boxes, obj, cls, max_det)
 
         self._run = _run
+        self._raw = jax.jit(
+            lambda p, x: forward(net, p, x, ForwardMode())[0]
+        )
 
     @property
     def program(self):  # duck-type Engine for eval harnesses
@@ -50,7 +53,5 @@ class FloatEngine:
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 
     def raw_heads(self, images: np.ndarray):
-        heads, _ = jax.jit(
-            lambda p, x: forward(self.net, p, x, ForwardMode())
-        )(self.params, jnp.asarray(images))
+        heads = self._raw(self.params, jnp.asarray(images))
         return [np.asarray(h) for h in heads]

@@ -130,7 +130,13 @@ class Server:
                 for j in np.argsort(-oo)
                 if oo[j] > r.thresh
             ]
-            r.future.set_result(dets)
+            # a client may have cancelled its future mid-batch; never let that
+            # poison the other requests in the batch
+            if not r.future.cancelled():
+                try:
+                    r.future.set_result(dets)
+                except Exception:
+                    pass
 
     def close(self):
         self._stop.set()

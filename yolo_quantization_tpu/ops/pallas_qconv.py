@@ -141,19 +141,25 @@ def pallas_quantized_conv2d(
     if fuse_pool and (h_out % 2 or w_out % 2):
         raise ValueError("fuse_pool requires even conv output dims")
 
-    x_i8 = u8_to_i8(x_u8)
-    if pad:
-        x_i8 = jnp.pad(
-            x_i8,
-            ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-            constant_values=x_zp_i32.astype(jnp.int8),
-        )
-
     th = _row_tile(w_out, h_out)
     if fuse_pool:
         th = max(2, th - (th % 2))  # row tiles must cover whole pool windows
     tco = min(co, 128)
-    grid = (n, pl.cdiv(h_out, th), pl.cdiv(co, tco))
+    num_row_tiles = pl.cdiv(h_out, th)
+    grid = (n, num_row_tiles, pl.cdiv(co, tco))
+
+    x_i8 = u8_to_i8(x_u8)
+    # Pad top/left/right by `pad` with the zero point; pad the BOTTOM far
+    # enough that the last (partial) row tile's in-kernel dynamic slices never
+    # clamp — a clamped pl.ds start silently shifts every tap's rows and
+    # corrupts the whole tail tile.  Extra rows only feed masked-out outputs.
+    bottom = pad + (num_row_tiles * th - h_out)
+    if pad or bottom:
+        x_i8 = jnp.pad(
+            x_i8,
+            ((0, 0), (pad, bottom), (pad, pad), (0, 0)),
+            constant_values=x_zp_i32.astype(jnp.int8),
+        )
 
     kernel = functools.partial(
         _qconv_kernel, k=k, th=th, w_out=w_out, act=act, out_zp=out_zp_static,

@@ -165,21 +165,26 @@ def quantized_conv2d(
     return requant_activate(acc, bias_i32, m, out_zp, act)
 
 
-def fold_static_bias(
-    bias_f: jax.Array,
-    s_in: jax.Array,
-    s_w: jax.Array,
-    x_zp_i32: jax.Array,
-    w_zp_i32: jax.Array,
-    w_i8: jax.Array,
-) -> jax.Array:
+def fold_static_bias(bias_f, s_in, s_w, x_zp_i32, w_zp_i32, w_i8):
     """Fold the float bias and static zero-point terms into one int32 bias.
 
     bias_i32[o] = round(bias_f[o] / (S1*S2[o])) - zx*wsum[o] + K*zx*zw[o]
     (reference src/blas.c:306-334: weights_sum_int + biases_int32).
     All zero points here are the int8-shifted ones (code - 128).
+
+    Numpy (host-side) — this is conversion-time math, and it is the single
+    canonical implementation used by infer/convert.py and the tests.
     """
+    import numpy as np
+
+    bias_f = np.asarray(bias_f, np.float64)
+    w_i8 = np.asarray(w_i8)
     k = w_i8.shape[0] * w_i8.shape[1] * w_i8.shape[2]
-    wsum = jnp.sum(w_i8.astype(jnp.int32), axis=(0, 1, 2))
-    static = -x_zp_i32 * wsum + k * x_zp_i32 * w_zp_i32
-    return (jnp.round(bias_f / (s_in * s_w)).astype(jnp.int32) + static).astype(jnp.int32)
+    wsum = w_i8.astype(np.int64).sum(axis=(0, 1, 2))
+    x_zp = np.int64(np.asarray(x_zp_i32))
+    w_zp = np.asarray(w_zp_i32, np.int64)
+    static = -x_zp * wsum + k * x_zp * w_zp
+    return (
+        np.round(bias_f / (np.asarray(s_in, np.float64) * np.asarray(s_w, np.float64)))
+        + static
+    ).astype(np.int32)
