@@ -42,14 +42,28 @@ from yolo_quantization_tpu.ops.qconv import (
 )
 
 
-def _row_tile(w_out: int, h_out: int) -> int:
-    """Pick TH so the GEMM row dim TH*w_out lands near 4096 and tiles by 32."""
-    if h_out * w_out <= 4096:
+def _row_tile(w_out: int, h_out: int, even: bool = False) -> int:
+    """Pick TH so the GEMM row dim TH*w_out lands near 4096 rows.
+
+    Prefers a TH that divides h_out exactly (no masked tail work); partial
+    tails are still handled correctly via bottom padding in the caller.
+    ``even`` additionally requires TH % 2 == 0 (fused pooling).
+    """
+    if h_out * w_out <= 4096 and not (even and h_out % 2):
         return h_out
-    th = max(1, 4096 // w_out)
-    while th > 1 and (th * w_out) % 32 != 0 and h_out % th != 0:
-        th -= 1
-    return th
+    target = max(2 if even else 1, 4096 // w_out)
+    best = None
+    for th in range(target, 0, -1):
+        if even and th % 2:
+            continue
+        if h_out % th == 0:
+            best = th
+            break
+    if best is None:
+        best = min(max(2 if even else 1, target), h_out + (h_out % 2 if even else 0))
+        if even and best % 2:
+            best += 1
+    return best
 
 
 def _qconv_kernel(
@@ -141,9 +155,7 @@ def pallas_quantized_conv2d(
     if fuse_pool and (h_out % 2 or w_out % 2):
         raise ValueError("fuse_pool requires even conv output dims")
 
-    th = _row_tile(w_out, h_out)
-    if fuse_pool:
-        th = max(2, th - (th % 2))  # row tiles must cover whole pool windows
+    th = _row_tile(w_out, h_out, even=fuse_pool)
     tco = min(co, 128)
     num_row_tiles = pl.cdiv(h_out, th)
     grid = (n, num_row_tiles, pl.cdiv(co, tco))
