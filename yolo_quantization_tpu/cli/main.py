@@ -275,6 +275,20 @@ def cmd_export(args):
     print(f"wrote {args.out} (quantized={qs is not None}, seen={int(state.step)})")
 
 
+def cmd_recall(args):
+    """Recall/IoU eval (reference validate_detector_recall, detector.c:647)."""
+    from yolo_quantization_tpu.eval.f1 import recall_eval
+
+    net, _ = _load_model(args)
+    engine = _engine_from(args, net)
+    out = recall_eval(engine, args.test_list, thresh=args.thresh,
+                      iou_thresh=args.iou, max_images=args.max_images)
+    print(
+        f"recall {out['recall']:.2f}%  avg IoU {out['avg_iou']:.2f}%  "
+        f"RPs/img {out['proposals_per_image']:.2f}  truths {out['total_truths']}"
+    )
+
+
 def cmd_valid(args):
     """VOC/COCO result writers + self-contained mAP (reference detector valid)."""
     from yolo_quantization_tpu.eval.valid import voc_map, write_coco_results, write_voc_results
@@ -444,6 +458,14 @@ def build_parser():
     common(sp)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_export_program)
+
+    sp = sub.add_parser("recall", help="recall/IoU eval (reference detector recall)")
+    common(sp)
+    sp.add_argument("--test-list", required=True)
+    sp.add_argument("--thresh", type=float, default=0.25)
+    sp.add_argument("--iou", type=float, default=0.5)
+    sp.add_argument("--max-images", type=int)
+    sp.set_defaults(fn=cmd_recall)
 
     sp = sub.add_parser("valid", help="VOC/COCO result writers + mAP")
     common(sp)
