@@ -132,3 +132,15 @@ class TestYolov2Training:
         # early steps oscillate (momentum + object_scale 5); converged tail
         # must sit well below the start
         assert np.mean(losses[-5:]) < losses[0] * 0.6, losses
+
+
+class TestAdam:
+    def test_adam_optimizer_trains(self, tiny_net):
+        cfg = TrainConfig(learning_rate=1e-3, burn_in=0,
+                          quant_start_step=10**9, adam=True)
+        trainer = Trainer(tiny_net, cfg, key=jax.random.PRNGKey(0))
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 160, 160, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        losses = [float(trainer.step(images, truths)["loss"]) for _ in range(6)]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

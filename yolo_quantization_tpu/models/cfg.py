@@ -89,6 +89,10 @@ def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
         lr_scales=_floats(net_opts.get("scales", "")) if "scales" in net_opts else (),
         quant_start_step=int(net_opts.get("start_quantization_step", 10**9)),
         batch_size=int(net_opts.get("batch", 1)),
+        adam=bool(int(net_opts.get("adam", 0))),
+        adam_b1=float(net_opts.get("B1", 0.9)),
+        adam_b2=float(net_opts.get("B2", 0.999)),
+        input_calibration=_floats(net_opts.get("input_calibration", "")),
     )
 
     specs = []

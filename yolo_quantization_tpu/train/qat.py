@@ -45,6 +45,12 @@ class TrainConfig:
     lr_scales: tuple[float, ...] = (0.1, 0.1)
     quant_start_step: int = 10000
     batch_size: int = 64
+    # darknet adam=1 support (src/parser.c:609-613); default SGD+momentum
+    adam: bool = False
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-7
+    input_calibration: tuple[float, ...] = ()  # parsed for cfg parity
 
 
 class TrainState(NamedTuple):
@@ -73,9 +79,15 @@ def _decay_mask(params):
 
 
 def make_optimizer(cfg: TrainConfig):
+    if cfg.adam:
+        opt = optax.adam(
+            learning_rate=lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+        )
+    else:
+        opt = optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum)
     return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
-        optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum),
+        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask), opt
     )
 
 
