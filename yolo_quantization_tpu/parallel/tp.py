@@ -1,0 +1,76 @@
+"""Optional tensor parallelism: conv output channels sharded over 'model'.
+
+SURVEY §2.6 marks TP as the strictly-optional extension the reference lacks.
+For CNN detectors, TP shards each conv's output-channel dimension across the
+mesh's 'model' axis: weights are P(None, None, None, 'model'), per-channel
+epilogue params P('model'), activations materialize channel-sharded and XLA
+inserts the all-gathers only where a consumer genuinely needs full channels
+(routes, heads).  GSPMD propagation does the partitioning — no manual
+collectives.
+
+Use when a model's weights exceed one chip's HBM or for latency-bound
+batch-1 serving; the flagship tiny model fits everywhere, so this is exposed
+as a capability with correctness tests, not the default path.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_CHANNEL_SHARDED = {"w_i8", "bias_i32", "m", "w_zp", "out_zp", "m0", "m_shift",
+                    "w_scale", "w_zp_u8", "bias_f32"}
+_LAST_DIM_W = {"w_i8", "w_f32"}
+
+
+def shard_arrays_tp(arrays, mesh: Mesh):
+    """Place an IntProgram's arrays with conv channels over the 'model' axis.
+
+    Weights (HWIO) shard their last (output-channel) dim; per-channel
+    vectors shard their only dim; scalars replicate.  Channel counts not
+    divisible by the axis size fall back to replication (XLA requires even
+    shards for simple NamedShardings).
+    """
+    axis = mesh.shape["model"]
+
+    def place(name, arr):
+        arr = np.asarray(arr)
+        if axis > 1:
+            if name in _LAST_DIM_W and arr.ndim == 4 and arr.shape[3] % axis == 0:
+                return jax.device_put(
+                    arr, NamedSharding(mesh, P(None, None, None, "model"))
+                )
+            if (
+                name in _CHANNEL_SHARDED
+                and arr.ndim == 1
+                and arr.shape[0] % axis == 0
+            ):
+                return jax.device_put(arr, NamedSharding(mesh, P("model")))
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+
+    return {
+        i: {name: place(name, a) for name, a in layer.items()}
+        for i, layer in arrays.items()
+    }
+
+
+def run_tp(program, x, n_model: int | None = None):
+    """Run an IntProgram forward with TP-sharded weights on the current devices.
+
+    Returns the decoded head tensors (replicated).  Correctness-oriented
+    entry point; serving integrates by building the engine's jitted fn with
+    these shardings instead.
+    """
+    from yolo_quantization_tpu.infer.engine import build_forward
+    from yolo_quantization_tpu.parallel.mesh import make_mesh
+
+    n_devices = len(jax.devices())
+    n_model = n_model or n_devices
+    mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
+    fwd = build_forward(program)
+    with mesh:
+        arrays = shard_arrays_tp(program.arrays, mesh)
+        x = jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+        heads = jax.jit(fwd)(arrays, x)
+        return [np.asarray(h) for h in heads], mesh
