@@ -335,6 +335,29 @@ def cmd_weights_tool(args):
     if args.op == "stats":
         print(wt.statistics_net(net, params))
         return
+    if args.op == "visualize":
+        from PIL import Image
+
+        mosaic = wt.filter_mosaic(
+            net, params, args.layer if args.layer >= 0 else None
+        )
+        out = args.out or "filters.png"
+        Image.fromarray(mosaic).save(out)
+        print(f"wrote filter mosaic {mosaic.shape} to {out}")
+        return
+    if args.op == "mkimg":
+        import os
+
+        from PIL import Image
+
+        out_dir = args.out or "mkimg_out"
+        os.makedirs(out_dir, exist_ok=True)
+        for z, im in enumerate(wt.mkimg(net, params, args.size, args.size, args.num)):
+            Image.fromarray((im * 255 + 0.5).astype("uint8")).save(
+                os.path.join(out_dir, f"gen_{z}.png")
+            )
+        print(f"wrote {args.num} generated images to {out_dir}/")
+        return
     if args.op == "rgbgr":
         wt.rgbgr_net(net, params)
     elif args.op == "rescale":
@@ -477,14 +500,21 @@ def build_parser():
     sp.add_argument("--max-images", type=int)
     sp.set_defaults(fn=cmd_valid)
 
-    sp = sub.add_parser("weights-tool", help="weight surgery (print/stats/rgbgr/rescale/denormalize)")
+    sp = sub.add_parser(
+        "weights-tool",
+        help="weight surgery (print/stats/rgbgr/rescale/denormalize/visualize/mkimg)",
+    )
     common(sp, weights=False)
     sp.add_argument("--weights", required=True)
     sp.add_argument("--op", required=True,
-                    choices=("print", "stats", "rgbgr", "rescale", "denormalize"))
-    sp.add_argument("--layer", type=int, default=0)
+                    choices=("print", "stats", "rgbgr", "rescale", "denormalize",
+                             "visualize", "mkimg"))
+    sp.add_argument("--layer", type=int, default=0,
+                    help="conv layer index (visualize: -1 = first conv)")
     sp.add_argument("--scale", type=float, default=1.0)
-    sp.add_argument("--out", help="output weights file (default: overwrite input)")
+    sp.add_argument("--num", type=int, default=4, help="mkimg: images to generate")
+    sp.add_argument("--size", type=int, default=256, help="mkimg: canvas size")
+    sp.add_argument("--out", help="output path (weights file / png / mkimg dir)")
     sp.set_defaults(fn=cmd_weights_tool)
 
     sp = sub.add_parser("demo", help="streaming demo over a frames directory")

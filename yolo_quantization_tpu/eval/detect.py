@@ -78,12 +78,46 @@ def decode_region_head(out: jax.Array, spec) -> tuple[jax.Array, jax.Array, jax.
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)
     obj = r[..., 4]
     cls = r[..., 5:]
-    flat = lambda t: t.reshape(n, h * w * a, *t.shape[5:])  # noqa: E731
+    if spec.tree is not None:
+        # WordTree: turn per-group conditionals into joint path probabilities
+        # (get_region_detections calls hierarchy_predictions in place,
+        # src/region_layer.c:414-416); greedy class selection happens
+        # host-side via tree_top_probs.
+        from yolo_quantization_tpu.core.tree import hierarchy_predictions
+
+        cls = hierarchy_predictions(cls, spec.tree)
     return (
         boxes.reshape(n, h * w * a, 4),
         obj.reshape(n, h * w * a),
         cls.reshape(n, h * w * a, spec.classes),
     )
+
+
+def tree_top_probs(
+    cls: np.ndarray,
+    obj: np.ndarray,
+    tree,
+    thresh: float,
+    tree_thresh: float = 0.5,
+) -> np.ndarray:
+    """Sparse per-detection class probs for a WordTree region head.
+
+    Replicates the reference's map-less tree branch
+    (src/region_layer.c:424-426): per detection, greedily descend the
+    hierarchy over the JOINT probabilities produced by decode_region_head
+    (the reference runs hierarchy_top_prediction on the in-place-updated
+    joint values) and assign the detection's objectness to the chosen node.
+    """
+    from yolo_quantization_tpu.core.tree import hierarchy_top_prediction
+
+    out = np.zeros_like(np.asarray(cls))
+    cls = np.asarray(cls)
+    obj = np.asarray(obj)
+    for d in range(cls.shape[0]):
+        if obj[d] > thresh:
+            j = hierarchy_top_prediction(cls[d], tree, tree_thresh)
+            out[d, j] = obj[d]
+    return out
 
 
 def decode_detection_head(out: jax.Array, spec) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -70,7 +70,21 @@ def _floats(v: str) -> tuple[float, ...]:
     return tuple(float(x) for x in v.replace(" ", "").split(",") if x != "")
 
 
-def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
+def _load_tree(opts: dict[str, str], base_dir: str | None):
+    """Resolve a section's ``tree=`` option (src/parser.c:223-224,323-324)."""
+    tree_file = opts.get("tree")
+    if not tree_file:
+        return None
+    import os
+
+    from yolo_quantization_tpu.core.tree import read_tree
+
+    if base_dir and not os.path.isabs(tree_file):
+        tree_file = os.path.join(base_dir, tree_file)
+    return read_tree(tree_file)
+
+
+def parse_cfg(text: str, base_dir: str | None = None) -> tuple[NetworkDef, TrainConfig]:
     sections = read_cfg_sections(text)
     if not sections or sections[0][0] not in ("net", "network"):
         raise ValueError("cfg must start with a [net] section")
@@ -165,6 +179,7 @@ def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
                     classes=int(opts.get("classes", 20)),
                     num=int(opts.get("num", len(anchors) or 5)),
                     softmax=flag("softmax", 0),
+                    tree=_load_tree(opts, base_dir),
                 )
             )
         elif name == "detection":
@@ -175,6 +190,8 @@ def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
                     side=int(opts.get("side", 7)),
                     coords=int(opts.get("coords", 4)),
                     sqrt=flag("sqrt", 0),
+                    rescore=flag("rescore", 0),
+                    softmax=flag("softmax", 0),
                 )
             )
         elif name == "connected":
@@ -190,6 +207,7 @@ def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
                 SoftmaxSpec(
                     groups=int(opts.get("groups", 1)),
                     temperature=float(opts.get("temperature", 1)),
+                    tree=_load_tree(opts, base_dir),
                 )
             )
         elif name == "avgpool":
@@ -255,5 +273,7 @@ def parse_cfg(text: str) -> tuple[NetworkDef, TrainConfig]:
 
 
 def load_cfg(path: str) -> tuple[NetworkDef, TrainConfig]:
+    import os
+
     with open(path) as f:
-        return parse_cfg(f.read())
+        return parse_cfg(f.read(), base_dir=os.path.dirname(os.path.abspath(path)))

@@ -1,8 +1,10 @@
 """Weight-surgery utilities (the reference's examples/darknet.c toolbox).
 
 Counterparts of: print_weights (:11), rescale_net (:30), rgbgr_net (:45),
-denormalize_net (:154), statistics_net (:124).  All operate on the params
-pytree (numpy) and can be driven from the CLI ``weights-tool`` subcommand.
+denormalize_net (:154), statistics_net (:124), visualize (:214 ->
+src/network.c:550 visualize_network), mkimg (:188).  All operate on the
+params pytree (numpy) and can be driven from the CLI ``weights-tool`` /
+``mkimg`` subcommands.
 """
 
 from __future__ import annotations
@@ -54,6 +56,102 @@ def denormalize_net(net: NetworkDef, params) -> None:
             p["gamma"] = np.ones_like(inv)
             p["mean"] = np.zeros_like(inv)
             p["var"] = np.ones_like(inv)
+
+
+def get_filter_images(net: NetworkDef, params, layer_index: int) -> np.ndarray:
+    """Per-filter images of a conv layer, each normalized to [0,1]
+    (get_weights + normalize_image, src/convolutional_layer.c:954-969).
+
+    Returns (n_filters, k, k, in_c) float32.
+    """
+    w = np.asarray(params[layer_index]["w"], np.float32)  # HWIO
+    imgs = np.transpose(w, (3, 0, 1, 2)).copy()           # (O, H, W, I)
+    for i in range(imgs.shape[0]):
+        lo, hi = imgs[i].min(), imgs[i].max()
+        if hi - lo > 1e-12:
+            imgs[i] = (imgs[i] - lo) / (hi - lo)
+        else:
+            imgs[i] = 0.5
+    return imgs
+
+
+def filter_mosaic(
+    net: NetworkDef, params, layer_index: int | None = None, border: int = 1
+) -> np.ndarray:
+    """Collage of a conv layer's filters, the ``darknet visualize`` analog
+    (examples/darknet.c:214 -> visualize_network src/network.c:550-562).
+
+    Defaults to the first conv.  Filters with 3 input channels render RGB;
+    otherwise the channel-mean renders gray.  Returns uint8 (H, W, 3).
+    """
+    if layer_index is None:
+        layer_index = min(
+            i for i, s in enumerate(net.specs) if isinstance(s, ConvSpec)
+        )
+    imgs = get_filter_images(net, params, layer_index)
+    n, k, _, in_c = imgs.shape
+    if in_c == 3:
+        tiles = imgs
+    else:
+        tiles = np.repeat(imgs.mean(axis=-1, keepdims=True), 3, axis=-1)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    cell = k + border
+    out = np.full((rows * cell + border, cols * cell + border, 3), 0.2, np.float32)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        y, x = border + r * cell, border + c * cell
+        out[y : y + k, x : x + k] = tiles[i]
+    return (out * 255.0 + 0.5).astype(np.uint8)
+
+
+def _ghost_composite(src: np.ndarray, dest: np.ndarray, dx: int, dy: int) -> None:
+    """Alpha-blend ``src`` onto ``dest`` at (dx, dy) with a radial alpha that
+    peaks at the filter center (ghost_image, src/image.c:380-397)."""
+    h, w = src.shape[:2]
+    ys = np.arange(h, dtype=np.float32) - h / 2.0 + 0.5
+    xs = np.arange(w, dtype=np.float32) - w / 2.0 + 0.5
+    max_dist = np.sqrt((-w / 2.0 + 0.5) ** 2)
+    dist = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2)
+    alpha = np.clip(1.0 - dist / max_dist, 0.0, None)[..., None]
+    region = dest[dy : dy + h, dx : dx + w]
+    region[:] = alpha * src + (1 - alpha) * region
+
+
+def mkimg(
+    net: NetworkDef,
+    params,
+    h: int,
+    w: int,
+    num: int,
+    seed: int = 0,
+    per_image: int = 100,
+) -> list[np.ndarray]:
+    """Generate ``num`` synthetic images by ghost-compositing random
+    first-conv filters onto a 0.5-gray canvas (mkimg, examples/darknet.c:188-213).
+
+    Deviation: the reference also HSV-distorts each stamp
+    (random_distort_image) — here stamps get the random 90-degree rotations
+    only; distortion belongs to the data pipeline.  Returns float32 HxWx3
+    images in [0,1].
+    """
+    first = min(i for i, s in enumerate(net.specs) if isinstance(s, ConvSpec))
+    imgs = get_filter_images(net, params, first)
+    if imgs.shape[-1] != 3:
+        imgs = np.repeat(imgs.mean(axis=-1, keepdims=True), 3, axis=-1)
+    rng = np.random.default_rng(seed)
+    out = []
+    k = imgs.shape[1]
+    for _ in range(num):
+        canvas = np.full((h, w, 3), 0.5, np.float32)
+        for _ in range(per_image):
+            stamp = imgs[rng.integers(0, imgs.shape[0])]
+            stamp = np.rot90(stamp, k=int(rng.integers(0, 4)), axes=(0, 1)).copy()
+            dx = int(rng.integers(0, w - k))
+            dy = int(rng.integers(0, h - k))
+            _ghost_composite(stamp, canvas, dx, dy)
+        out.append(canvas)
+    return out
 
 
 def statistics_net(net: NetworkDef, params) -> str:

@@ -102,10 +102,15 @@ class ConnectedSpec:
 
 @dataclass(frozen=True)
 class SoftmaxSpec:
-    """Softmax over channels (src/softmax_layer.c); hierarchy trees unsupported."""
+    """Softmax over channels (src/softmax_layer.c).
+
+    With ``tree`` set, softmax runs independently within each sibling group of
+    the hierarchy (WordTree, src/softmax_layer.c:41-48 / src/tree.c).
+    """
 
     groups: int = 1
     temperature: float = 1.0
+    tree: Any = None  # core.tree.HierarchyTree | None (hashable)
 
 
 @dataclass(frozen=True)
@@ -191,6 +196,7 @@ class RegionSpec:
     classes: int = 20
     num: int = 5
     softmax: bool = True
+    tree: Any = None  # core.tree.HierarchyTree | None — WordTree classes
     # anchors are in feature-grid units (unlike YoloSpec's input pixels)
 
 
@@ -203,6 +209,8 @@ class DetectionSpec:
     side: int = 7
     coords: int = 4
     sqrt: bool = True
+    rescore: bool = False  # obj target = IoU instead of 1 (detection_layer.c:166)
+    softmax: bool = False  # softmax the class block (detection_layer.c:57-66)
 
 
 LayerSpec = Any  # union of the above
@@ -514,6 +522,10 @@ def apply_simple_layer(
             y = L.connected(x, p["w"], p["bias"])
         return L.activate(y, s.activation)
     if isinstance(s, SoftmaxSpec):
+        if s.tree is not None:
+            from yolo_quantization_tpu.core.tree import softmax_tree
+
+            return softmax_tree(x, s.tree, s.temperature)
         return L.softmax(x, s.temperature, s.groups)
     if isinstance(s, AvgPoolSpec):
         return L.global_avgpool(x)
@@ -547,17 +559,35 @@ def apply_simple_layer(
         shape = (1,) * (x.ndim - 1) + (-1,)
         return x * scale.reshape(shape) + bias.reshape(shape)
     if isinstance(s, RegionSpec):
-        # yolov2 head forward (src/region_layer.c): logistic on x, y, obj;
-        # softmax over classes per anchor
+        # yolov2 head forward (src/region_layer.c:160-188): logistic on x, y,
+        # obj; classes get the WordTree grouped softmax when a tree is set
+        # (region_layer.c:176-183), plain softmax when softmax=1, logistic
+        # otherwise (region_layer.c:173)
         n, h, w, _ = x.shape
         r = x.reshape(n, h, w, s.num, 5 + s.classes)
         xy = jax.nn.sigmoid(r[..., 0:2])
         wh = r[..., 2:4]
         obj = jax.nn.sigmoid(r[..., 4:5])
-        cls = jax.nn.softmax(r[..., 5:], axis=-1) if s.softmax else r[..., 5:]
+        if s.tree is not None:
+            from yolo_quantization_tpu.core.tree import softmax_tree
+
+            cls = softmax_tree(r[..., 5:], s.tree)
+        elif s.softmax:
+            cls = jax.nn.softmax(r[..., 5:], axis=-1)
+        else:
+            cls = jax.nn.sigmoid(r[..., 5:])
         return jnp.concatenate([xy, wh, obj, cls], axis=-1).reshape(x.shape)
     if isinstance(s, DetectionSpec):
-        return x  # v1 head: raw output, decoded in eval/detect.py
+        # v1 head: raw output except the optional per-cell class softmax
+        # (detection_layer.c:57-66); decode happens in eval/detect.py
+        if s.softmax:
+            b = x.shape[0]
+            s2 = s.side * s.side
+            cls = jax.nn.softmax(
+                x[:, : s2 * s.classes].reshape(b, s2, s.classes), axis=-1
+            ).reshape(b, s2 * s.classes)
+            x = jnp.concatenate([cls, x[:, s2 * s.classes :]], axis=-1)
+        return x
     raise TypeError(f"not a simple layer: {s}")
 
 

@@ -160,7 +160,8 @@ def yolo_head_loss(
 
 @partial(jax.jit, static_argnames=("anchors", "classes", "ignore_thresh",
                                    "object_scale", "noobject_scale",
-                                   "class_scale", "coord_scale", "rescore"))
+                                   "class_scale", "coord_scale", "rescore",
+                                   "tree"))
 def region_head_loss(
     out: jax.Array,          # (B, H, W, A*(5+C)) region FORWARD output
     truths: jax.Array,       # (B, MAX_BOXES, 5)
@@ -172,6 +173,7 @@ def region_head_loss(
     class_scale: float = 1.0,
     coord_scale: float = 1.0,
     rescore: bool = True,
+    tree=None,               # core.tree.HierarchyTree | None (WordTree classes)
 ):
     """YOLOv2 [region] loss (src/region_layer.c delta_region_box/forward).
 
@@ -231,9 +233,26 @@ def region_head_loss(
     scale_grid = jnp.zeros((b, h, w, a)).at[bi, drop, gi, best_n].set(box_scale, mode="drop")
     txywh = jnp.stack([tx, ty, tw, th], axis=-1)
     box_target = jnp.zeros((b, h, w, a, 4)).at[bi, drop, gi, best_n].set(txywh, mode="drop")
-    cls_target = jnp.zeros((b, h, w, a, classes)).at[
-        bi, drop, gi, best_n, jnp.where(assign, t_cls, 0)
-    ].set(1.0, mode="drop")
+    if tree is not None:
+        # hierarchical class targets (delta_region_class's hier branch,
+        # src/region_layer.c:117-129): the truth label and each ancestor get
+        # target 1, their sibling groups get target 0, every other node's
+        # delta is untouched -> masked out of the loss
+        path_m = jnp.asarray(tree.path_matrix, jnp.float32)      # (C, C)
+        sib_m = jnp.asarray(tree.sibling_matrix, jnp.float32)    # (C, C)
+        t_rows = path_m[jnp.where(assign, t_cls, 0)]             # (B, M, C)
+        m_rows = sib_m[jnp.where(assign, t_cls, 0)]
+        cls_target = jnp.zeros((b, h, w, a, classes)).at[
+            bi, drop, gi, best_n
+        ].set(t_rows, mode="drop")
+        cls_mask = jnp.zeros((b, h, w, a, classes)).at[
+            bi, drop, gi, best_n
+        ].set(m_rows, mode="drop")
+    else:
+        cls_target = jnp.zeros((b, h, w, a, classes)).at[
+            bi, drop, gi, best_n, jnp.where(assign, t_cls, 0)
+        ].set(1.0, mode="drop")
+        cls_mask = None
     assigned = obj_target > 0
 
     xy = jnp.stack([r[..., 0], r[..., 1]], axis=-1)
@@ -246,9 +265,10 @@ def region_head_loss(
     obj_w = jnp.where(assigned, object_scale,
                       jnp.where(ignore, 0.0, noobject_scale))
     obj_loss = 0.5 * obj_w * (obj - obj_tgt) ** 2
-    cls_loss = jnp.where(
-        assigned[..., None], 0.5 * class_scale * (cls - cls_target) ** 2, 0.0
-    )
+    cls_sq = 0.5 * class_scale * (cls - cls_target) ** 2
+    if cls_mask is not None:
+        cls_sq = cls_sq * cls_mask
+    cls_loss = jnp.where(assigned[..., None], cls_sq, 0.0)
     total = (
         jnp.sum(jnp.where(assigned[..., None], coord_loss, 0.0))
         + jnp.sum(obj_loss)
@@ -256,6 +276,125 @@ def region_head_loss(
     )
     stats = {"obj_count": jnp.sum(assigned),
              "avg_obj": jnp.sum(obj * assigned) / jnp.maximum(jnp.sum(assigned), 1)}
+    return total, stats
+
+
+@partial(jax.jit, static_argnames=("side", "classes"))
+def encode_detection_truth(
+    truths: jax.Array, side: int, classes: int
+) -> jax.Array:
+    """(B, MAX_BOXES, 5) box lists -> YOLOv1 per-cell truth grid.
+
+    Replicates fill_truth_region (src/data.c:255-301): per box, cell =
+    floor(x*S), stored as [is_obj, class one-hot, x*S-col, y*S-row, w, h];
+    boxes with w or h < .005 are skipped; the FIRST box landing in a cell
+    wins (data.c:289 "if (truth[index]) continue") — achieved here by
+    scattering in reverse order so the earliest write lands last.
+    """
+    b, m, _ = truths.shape
+    s2 = side * side
+    x, y, w, h = truths[..., 0], truths[..., 1], truths[..., 2], truths[..., 3]
+    cls = truths[..., 4].astype(jnp.int32)
+    valid = (w >= 0.005) & (h >= 0.005)
+    col = jnp.clip((x * side).astype(jnp.int32), 0, side - 1)
+    row = jnp.clip((y * side).astype(jnp.int32), 0, side - 1)
+    cell = row * side + col
+    feat = jnp.concatenate(
+        [
+            jnp.ones((b, m, 1)),
+            jax.nn.one_hot(cls, classes),
+            jnp.stack([x * side - col, y * side - row, w, h], axis=-1),
+        ],
+        axis=-1,
+    )
+    cell = jnp.where(valid, cell, s2)  # out-of-range -> dropped
+    bi = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
+    grid = jnp.zeros((b, s2, 1 + classes + 4))
+    return grid.at[bi[:, ::-1], cell[:, ::-1]].set(feat[:, ::-1], mode="drop")
+
+
+@partial(jax.jit, static_argnames=("classes", "num", "side", "sqrt", "rescore",
+                                   "object_scale", "noobject_scale",
+                                   "class_scale", "coord_scale"))
+def detection_head_loss(
+    out: jax.Array,          # (B, S*S*(C + N + N*4)) v1 head forward output
+    truth_grid: jax.Array,   # (B, S*S, 1 + C + 4) from encode_detection_truth
+    classes: int,
+    num: int,
+    side: int,
+    sqrt: bool = False,
+    rescore: bool = False,
+    object_scale: float = 1.0,
+    noobject_scale: float = 1.0,
+    class_scale: float = 1.0,
+    coord_scale: float = 1.0,
+):
+    """YOLOv1 [detection] loss (src/detection_layer.c:50-217), vectorized.
+
+    Darknet's printed cost is recomputed as ||delta||^2 at the end
+    (detection_layer.c:212), so the per-term cost bookkeeping there is dead;
+    what matters for training are the deltas.  Each 0.5*scale*(t-p)^2 term
+    below has exactly darknet's delta = scale*(t-p) as its gradient.
+    Box responsibility: the predictor with best IoU vs truth, falling back to
+    lowest box-RMSE when every IoU is zero (detection_layer.c:109-134).
+    The `forced` and early-training `random` predictor overrides
+    (detection_layer.c:136-145) are omitted — both are exploration heuristics
+    that only matter in the first epochs.
+    """
+    b = out.shape[0]
+    s2 = side * side
+    probs = out[:, : s2 * classes].reshape(b, s2, classes)
+    confs = out[:, s2 * classes : s2 * (classes + num)].reshape(b, s2, num)
+    boxes = out[:, s2 * (classes + num) :].reshape(b, s2, num, 4)
+
+    is_obj = truth_grid[..., 0] > 0                       # (B, S2)
+    t_cls = truth_grid[..., 1 : 1 + classes]              # one-hot
+    t_box = truth_grid[..., 1 + classes :]                # [xr, yr, w, h]
+
+    # ---- IoU / RMSE in the reference's cell-relative-over-side frame
+    # (detection_layer.c:105-134: both pred and truth x,y are divided by side)
+    pw = boxes[..., 2] ** 2 if sqrt else boxes[..., 2]
+    ph = boxes[..., 3] ** 2 if sqrt else boxes[..., 3]
+    pred = jnp.stack([boxes[..., 0] / side, boxes[..., 1] / side, pw, ph], axis=-1)
+    tr = jnp.stack(
+        [t_box[..., 0] / side, t_box[..., 1] / side, t_box[..., 2], t_box[..., 3]],
+        axis=-1,
+    )[:, :, None, :]                                      # (B, S2, 1, 4)
+    ious = _box_iou_xywh(pred, tr)                        # (B, S2, N)
+    rmse = jnp.sqrt(jnp.sum((pred - tr) ** 2, axis=-1))
+    any_iou = jnp.max(ious, axis=-1) > 0
+    best = jnp.where(any_iou, jnp.argmax(ious, axis=-1), jnp.argmin(rmse, axis=-1))
+    best_oh = jax.nn.one_hot(best, num)                   # (B, S2, N)
+    best_iou = jnp.take_along_axis(ious, best[..., None], axis=-1)[..., 0]
+
+    # ---- confidence: noobj everywhere, responsible predictor gets obj target
+    conf_tgt = jnp.where(rescore, best_iou, 1.0)[..., None] * best_oh
+    resp = is_obj[..., None] * best_oh                    # (B, S2, N)
+    conf_w = jnp.where(resp > 0, object_scale, noobject_scale)
+    conf_loss = 0.5 * conf_w * (confs - conf_tgt * resp) ** 2
+
+    # ---- classes (only at object cells)
+    cls_loss = jnp.where(
+        is_obj[..., None], 0.5 * class_scale * (probs - t_cls) ** 2, 0.0
+    )
+
+    # ---- coords (only the responsible predictor; sqrt targets on w/h)
+    tw = jnp.sqrt(t_box[..., 2]) if sqrt else t_box[..., 2]
+    th = jnp.sqrt(t_box[..., 3]) if sqrt else t_box[..., 3]
+    coord_tgt = jnp.stack([t_box[..., 0], t_box[..., 1], tw, th], axis=-1)
+    coord_loss = jnp.where(
+        resp[..., None] > 0,
+        0.5 * coord_scale * (boxes - coord_tgt[:, :, None, :]) ** 2,
+        0.0,
+    )
+
+    total = jnp.sum(conf_loss) + jnp.sum(cls_loss) + jnp.sum(coord_loss)
+    stats = {
+        "obj_count": jnp.sum(is_obj),
+        "avg_iou": jnp.sum(best_iou * is_obj) / jnp.maximum(jnp.sum(is_obj), 1),
+        "avg_obj": jnp.sum(jnp.sum(confs * resp, -1) * is_obj)
+        / jnp.maximum(jnp.sum(is_obj), 1),
+    }
     return total, stats
 
 
@@ -268,11 +407,11 @@ def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None):
     graph is shape-polymorphic and only the anchor scaling needs the real
     resolution).  Defaults to the NetworkDef's nominal size.
     """
-    from yolo_quantization_tpu.nn.graph import RegionSpec, YoloSpec
+    from yolo_quantization_tpu.nn.graph import DetectionSpec, RegionSpec, YoloSpec
 
     net_h, net_w = input_hw if input_hw is not None else (net.height, net.width)
     specs = [
-        s for s in net.specs if isinstance(s, (YoloSpec, RegionSpec))
+        s for s in net.specs if isinstance(s, (YoloSpec, RegionSpec, DetectionSpec))
     ]
     loss = 0.0
     all_stats = []
@@ -281,8 +420,16 @@ def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None):
             l, st = yolo_head_loss(
                 raw, truths, s.mask, s.anchors, s.classes, net_w, net_h
             )
+        elif isinstance(s, RegionSpec):
+            l, st = region_head_loss(
+                raw, truths, s.anchors, s.classes, tree=s.tree
+            )
         else:
-            l, st = region_head_loss(raw, truths, s.anchors, s.classes)
+            grid = encode_detection_truth(truths, s.side, s.classes)
+            l, st = detection_head_loss(
+                raw, grid, s.classes, s.num, s.side, sqrt=s.sqrt,
+                rescore=s.rescore,
+            )
         loss = loss + l
         all_stats.append(st)
     batch = heads[0].shape[0]
