@@ -57,10 +57,17 @@ def main(batch=32):
                                            act=ACT_RELU6, out_zp_static=3)
 
         tx = amortized(jax.jit(xla_fn), x, w, bias, m)
-        tp = amortized(jax.jit(pl_fn), x, w, bias, m)
         tot_x += tx
-        tot_p += tp
         macs = batch * h * h * co * k * k * ci
+        try:
+            tp = amortized(jax.jit(pl_fn), x, w, bias, m)
+        except Exception as e:  # e.g. the ci=3 stem blows scoped VMEM
+            print(f"{h:4d}x{ci:4d}->{co:4d} k{k}: xla {tx*1e3:7.3f} ms "
+                  f"({macs*2/tx/1e12:6.1f} TOPS)  pallas SKIP "
+                  f"({type(e).__name__})", flush=True)
+            tot_p += tx  # engine falls back to XLA for this layer
+            continue
+        tot_p += tp
         print(f"{h:4d}x{ci:4d}->{co:4d} k{k}: xla {tx*1e3:7.3f} ms "
               f"({macs*2/tx/1e12:6.1f} TOPS)  pallas {tp*1e3:7.3f} ms "
               f"({macs*2/tp/1e12:6.1f} TOPS)", flush=True)

@@ -69,21 +69,39 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 return True
         return False
 
+    shapes = net.shapes()
+
+    def _pallas_eligible(i: int, c) -> bool:
+        """Static per-layer check for the Pallas kernel.
+
+        Beyond stride-1/symmetric, the kernel keeps the whole padded input
+        image resident in VMEM with Mosaic's int8 tiling — the last two block
+        dims pad to (32, 128) — so tiny-channel layers (the 3-channel stem
+        conv especially) blow the ~16 MB scoped-VMEM budget: estimate the
+        tiled block size and require headroom.  Those layers are also the
+        ones XLA's native conv handles best (ci < 32 underfills the MXU K
+        dim), so falling back costs nothing.
+        """
+        if c.kind != "qconv" or not c.symmetric_w or c.spec.stride != 1:
+            return False
+        ih, iw, ic = shapes[i - 1] if i > 0 else (net.height, net.width, net.channels)
+        p = c.spec.pad
+        hp, wp = ih + 2 * p, iw + 2 * p
+        tiled_bytes = hp * -(-wp // 32) * 32 * -(-ic // 128) * 128
+        return ic >= 16 and tiled_bytes <= 12 * 1024 * 1024
+
     # conv+maxpool fusion plan: a Pallas-eligible conv whose only consumer is
     # the immediately following size-2/stride-2 maxpool runs as one kernel
     # (bit-identical; halves the conv output's HBM traffic).  Requires even
     # conv output dims (whole pool windows) — odd maps fall back to unfused.
     fused_into_next: set[int] = set()
     if use_pallas:
-        shapes = net.shapes()
         for i, c in enumerate(cfg[:-1]):
             nxt = cfg[i + 1].spec
             oh, ow, _ = shapes[i]
             if (
-                c.kind == "qconv"
-                and c.symmetric_w
+                _pallas_eligible(i, c)
                 and not c.quant_stop
-                and c.spec.stride == 1
                 and oh % 2 == 0
                 and ow % 2 == 0
                 and isinstance(nxt, MaxPoolSpec)
@@ -130,7 +148,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                     # input with the QAT-tracked boundary range
                     qp = c.in_scales[0]
                     x = _quantize_input(x, qp[0], qp[1])
-                if use_pallas and s.stride == 1 and c.symmetric_w:
+                if use_pallas and _pallas_eligible(i, c):
                     y = pallas_quantized_conv2d(
                         x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
                         stride=1, pad=s.pad, act=c.act,

@@ -71,7 +71,10 @@ def _qconv_kernel(
     w_ref,      # (K, K, Ci, TCO) int8
     bias_ref,   # (1, TCO) int32   (2-D: 1-D operands trip XLA/Mosaic layout
     m_ref,      # (1, TCO) float32  mismatches for multi-tile channel dims)
-    out_ref,    # (1, TH, Wo, TCO) uint8 — or (1, TH/2, Wo/2, TCO) when pooled
+    out_ref,    # (1, TH*Wo, TCO) uint8 — or (1, TH/2*Wo/2, TCO) when pooled
+                # (rows stay flat: Mosaic cannot shape-cast packed int8
+                # vectors to split the sublane dim when TCO < 128 lanes; the
+                # caller un-flattens in XLA where the reshape is free)
     *,
     k: int,
     th: int,
@@ -82,7 +85,7 @@ def _qconv_kernel(
 ):
     i = pl.program_id(1)  # row-tile index
     ci = x_ref.shape[3]
-    tco = out_ref.shape[3]
+    tco = out_ref.shape[2]
     acc = jnp.zeros((th * w_out, tco), jnp.int32)
     for dy in range(k):
         for dx in range(k):
@@ -95,6 +98,23 @@ def _qconv_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+    rows_h, rows_w = th, w_out
+    orows = out_ref.shape[1]  # block rows, >= rows_h*rows_w (8-aligned)
+    if pool:
+        # fused 2x2/stride-2 maxpool, taken on the int32 accumulators BEFORE
+        # the epilogue: the per-channel map acc -> code (bias add, requant
+        # multiply with M>0, leaky/relu, zero point, clamp, round) is
+        # monotonic nondecreasing, so max commutes with it and the result is
+        # bit-identical to conv->requant->pool — while doing 1/4 the epilogue
+        # work and never writing the conv output to HBM.  Non-overlapping
+        # windows because darknet's size-2/stride-2 pool on even maps has
+        # offset 0.  (Pooling after the u8 cast trips Mosaic: 5-D shape casts
+        # of packed int8 vectors are unsupported; in int32 they compile.)
+        acc = acc.reshape(th // 2, 2, w_out // 2, 2, tco)
+        acc = jnp.maximum(acc[:, 0], acc[:, 1])         # (th/2, w/2, 2, tco)
+        acc = jnp.maximum(acc[:, :, 0], acc[:, :, 1])   # (th/2, w/2, tco)
+        rows_h, rows_w = th // 2, w_out // 2
+        acc = acc.reshape(rows_h * rows_w, tco)
     v = jnp.round(
         (acc + bias_ref[0, :].reshape(1, tco)).astype(jnp.float32)
         * m_ref[0, :].reshape(1, tco)
@@ -105,17 +125,9 @@ def _qconv_kernel(
         v = jnp.maximum(v, 0.0)
     # Mosaic has no f32->u8 cast; round-trip through int32 (clip keeps range)
     v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
-    v = v.reshape(th, w_out, tco)
-    if pool:
-        # fused 2x2/stride-2 maxpool: conv output never touches HBM.
-        # max on codes is exact (scale-invariant); non-overlapping windows
-        # because darknet's size-2/stride-2 pool on even maps has offset 0.
-        v = v.reshape(th // 2, 2, w_out // 2, 2, tco)
-        v = jnp.maximum(v[:, 0], v[:, 1])           # (th/2, w/2, 2, tco)
-        v = jnp.maximum(v[:, :, 0], v[:, :, 1])     # (th/2, w/2, tco)
-        out_ref[0, :, :, :] = v
-    else:
-        out_ref[0, :, :, :] = v
+    # flat-rows store, no vector reshape; partial when the block was padded
+    # to the 8-sublane boundary
+    out_ref[0, : rows_h * rows_w, :] = v
 
 
 @functools.partial(
@@ -177,19 +189,21 @@ def pallas_quantized_conv2d(
         _qconv_kernel, k=k, th=th, w_out=w_out, act=act, out_zp=out_zp_static,
         pool=fuse_pool,
     )
+    # rows dim stays flat inside the kernel; the 4-D un-flatten below is an
+    # XLA reshape (free relayout), not a Mosaic vector shape cast
     if fuse_pool:
-        out_shape = jax.ShapeDtypeStruct((n, h_out // 2, w_out // 2, co), jnp.uint8)
-        out_spec = pl.BlockSpec(
-            (1, th // 2, w_out // 2, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
-            memory_space=pltpu.VMEM,
-        )
+        oh, ow, orows = h_out // 2, w_out // 2, (th // 2) * (w_out // 2)
     else:
-        out_shape = jax.ShapeDtypeStruct((n, h_out, w_out, co), jnp.uint8)
-        out_spec = pl.BlockSpec(
-            (1, th, w_out, tco), lambda nn, ii, jj: (nn, ii, 0, jj),
-            memory_space=pltpu.VMEM,
-        )
-    return pl.pallas_call(
+        oh, ow, orows = h_out, w_out, th * w_out
+    # a multi-tile rows dim must be 8-sublane aligned per block (Pallas block
+    # layout rule); pad each tile's rows and strip the padding in XLA after
+    orows_p = orows if num_row_tiles == 1 else -(-orows // 8) * 8
+    out_shape = jax.ShapeDtypeStruct((n, num_row_tiles * orows_p, co), jnp.uint8)
+    out_spec = pl.BlockSpec(
+        (1, orows_p, tco), lambda nn, ii, jj: (nn, ii, jj),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -209,3 +223,8 @@ def pallas_quantized_conv2d(
         out_shape=out_shape,
         interpret=interpret,
     )(x_i8, w_i8, bias_i32.reshape(1, -1), m.reshape(1, -1))
+    # strip per-tile alignment padding and bottom-padding rows, un-flatten
+    if orows_p != orows:
+        out = out.reshape(n, num_row_tiles, orows_p, co)[:, :, :orows]
+        out = out.reshape(n, num_row_tiles * orows, co)
+    return out[:, : oh * ow, :].reshape(n, oh, ow, co)
