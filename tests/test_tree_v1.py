@@ -327,6 +327,63 @@ def test_detection_loss_noobj_gradient_structure():
     assert np.abs(g[s2 * (classes + num) :]).max() == 0  # boxes untouched
 
 
+def test_hierarchical_classifier_trains(tree, tmp_path):
+    """A tiny conv->avgpool->softmax(tree) classifier learns to separate two
+    leaf classes with the hierarchical loss and greedy-descent prediction."""
+    from PIL import Image
+
+    from yolo_quantization_tpu.nn.graph import (
+        AvgPoolSpec,
+        ConvSpec,
+        NetworkDef,
+        SoftmaxSpec,
+    )
+    from yolo_quantization_tpu.train.classify import (
+        ClassificationDataset,
+        ClassifierTrainer,
+        evaluate_top_k,
+    )
+
+    net = NetworkDef(
+        (
+            ConvSpec(filters=16, size=3, stride=2, pad=1, activation="leaky",
+                     batch_normalize=False, quantized=False),
+            ConvSpec(filters=tree.n, size=1, stride=1, pad=0,
+                     activation="linear", batch_normalize=False, quantized=False),
+            AvgPoolSpec(),
+            SoftmaxSpec(tree=tree),
+        ),
+        width=16, height=16,
+    )
+    rng = np.random.default_rng(7)
+    # poodle = bright images, car = dark images; names must appear in paths
+    paths = []
+    for i in range(8):
+        name = "poodle" if i % 2 == 0 else "car"
+        lvl = (0.8, 0.2)[i % 2]
+        im = (rng.uniform(lvl - 0.15, lvl + 0.15, (16, 16, 3)) * 255).astype("uint8")
+        p = tmp_path / f"{name}_{i}.png"
+        Image.fromarray(im).save(p)
+        paths.append(str(p))
+    (tmp_path / "list.txt").write_text("\n".join(paths) + "\n")
+    names = list(tree.names)
+    ds = ClassificationDataset(str(tmp_path / "list.txt"), names, 16, 16)
+
+    trainer = ClassifierTrainer(net, lr=0.05)
+    assert trainer.tree is tree
+    ims, labels = zip(*(ds.sample(i) for i in range(8)))
+    ims = np.stack(ims).astype(np.float32)
+    labels = np.asarray(labels)
+    first = None
+    for it in range(150):
+        m = trainer.step(ims, labels)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.2
+    res = evaluate_top_k(net, trainer.params, ds, k=3)
+    assert res["top1"] >= 0.9
+
+
 def test_cfg_tree_option(tmp_path):
     """[softmax] tree= and [region] tree= load relative to the cfg file."""
     from yolo_quantization_tpu.models.cfg import load_cfg

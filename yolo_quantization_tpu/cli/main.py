@@ -302,17 +302,18 @@ def cmd_valid(args):
         names = [f"class{i}" for i in range(args.classes)]
     if args.format == "voc":
         files = write_voc_results(engine, args.test_list, args.out_dir, names,
-                                  max_images=args.max_images)
+                                  max_images=args.max_images, flip=args.flip)
         print(f"wrote {len(files)} VOC result files to {args.out_dir}")
     elif args.format == "coco":
         out = write_coco_results(
             engine, args.test_list,
             __import__("os").path.join(args.out_dir, "coco_results.json"),
-            max_images=args.max_images,
+            max_images=args.max_images, flip=args.flip,
         )
         print(f"wrote {out}")
     if args.map:
-        res = voc_map(engine, args.test_list, len(names), max_images=args.max_images)
+        res = voc_map(engine, args.test_list, len(names),
+                      max_images=args.max_images, flip=args.flip)
         for c, ap in zip(names, res["ap"]):
             print(f"  AP {c}: {100 * ap:.2f}" if ap == ap else f"  AP {c}: n/a (no truths)")
         print(f"mAP@0.5 = {100 * res['map']:.2f}")
@@ -497,6 +498,8 @@ def build_parser():
     sp.add_argument("--format", choices=("voc", "coco", "none"), default="voc")
     sp.add_argument("--names", help="class names file")
     sp.add_argument("--map", action="store_true", help="also compute mAP@0.5")
+    sp.add_argument("--flip", action="store_true",
+                    help="horizontal-flip TTA (reference `detector valid2`)")
     sp.add_argument("--max-images", type=int)
     sp.set_defaults(fn=cmd_valid)
 

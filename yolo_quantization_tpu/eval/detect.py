@@ -142,6 +142,22 @@ def decode_detection_head(out: jax.Array, spec) -> tuple[jax.Array, jax.Array, j
     return out_boxes, obj, cls
 
 
+def flip_average_head(a: jax.Array, b: jax.Array, classes: int) -> jax.Array:
+    """Average a YOLO head's raw output over the horizontal-flip TTA pair
+    (avg_flipped_yolo, src/yolo_layer.c:290-314, used by `detector valid2`).
+
+    ``a`` is the head on the original image, ``b`` on the W-flipped image
+    (both (N, H, W, A*(5+C)) raw).  ``b`` is un-flipped spatially and its tx
+    channel negated — bx=(sig(tx)+col)/W mirrors to (col'+(1-sig(tx)))/W and
+    sig(-t) = 1-sig(t), so negating the pre-sigmoid tx is exact.
+    """
+    n, h, w, c = a.shape
+    blk = 5 + classes
+    bf = b[:, :, ::-1, :].reshape(n, h, w, c // blk, blk)
+    bf = bf.at[..., 0].multiply(-1.0)
+    return (a + bf.reshape(n, h, w, c)) / 2.0
+
+
 def decode_all_heads(heads, net, threshold_free=True):
     """Decode every detection head (yolo/region/detection) and concat."""
     from yolo_quantization_tpu.nn.graph import (

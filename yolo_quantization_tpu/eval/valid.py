@@ -21,12 +21,12 @@ from yolo_quantization_tpu.eval import detect
 from yolo_quantization_tpu.utils import native
 
 
-def _predict(engine, path):
+def _predict(engine, path, flip: bool = False):
     im = load_image_rgb(path)
     h, w, _ = im.shape
     net = engine.program.net
     x = native.letterbox(im, net.width, net.height)
-    boxes, obj, cls = engine.predict(x[None])
+    boxes, obj, cls = engine.predict(x[None], flip=flip)
     boxes = detect.correct_boxes(boxes[0], w, h, net.width, net.height)
     return boxes, obj[0], cls[0], w, h
 
@@ -34,6 +34,7 @@ def _predict(engine, path):
 def write_voc_results(
     engine, list_file: str, out_dir: str, class_names: list[str],
     thresh: float = 0.005, nms: float = 0.45, max_images: int | None = None,
+    flip: bool = False,
 ) -> dict[str, str]:
     """VOC comp4_det_test_<class>.txt writers (print_detector_detections,
     examples/detector.c:167-184): one line per detection,
@@ -49,7 +50,7 @@ def write_voc_results(
     try:
         for p in paths:
             image_id = os.path.splitext(os.path.basename(p))[0]
-            boxes, obj, cls, w, h = _predict(engine, p)
+            boxes, obj, cls, w, h = _predict(engine, p, flip=flip)
             probs = obj[:, None] * cls
             probs = native.nms_sort(boxes, probs, nms)
             for k in range(len(boxes)):
@@ -71,7 +72,7 @@ def write_voc_results(
 
 def write_coco_results(
     engine, list_file: str, out_path: str, thresh: float = 0.005,
-    nms: float = 0.45, max_images: int | None = None,
+    nms: float = 0.45, max_images: int | None = None, flip: bool = False,
 ) -> str:
     """COCO-format JSON writer (print_cocos, examples/detector.c:186-210)."""
     paths = read_image_list(list_file)
@@ -82,7 +83,7 @@ def write_coco_results(
         stem = os.path.splitext(os.path.basename(p))[0]
         digits = "".join(ch for ch in stem if ch.isdigit())
         image_id = int(digits) if digits else abs(hash(stem)) % 10**9
-        boxes, obj, cls, w, h = _predict(engine, p)
+        boxes, obj, cls, w, h = _predict(engine, p, flip=flip)
         probs = obj[:, None] * cls
         probs = native.nms_sort(boxes, probs, nms)
         for k in range(len(boxes)):
@@ -105,7 +106,7 @@ def write_coco_results(
 def voc_map(
     engine, list_file: str, num_classes: int, iou_thresh: float = 0.5,
     thresh: float = 0.005, nms: float = 0.45, max_images: int | None = None,
-    use_07_metric: bool = False,
+    use_07_metric: bool = False, flip: bool = False,
 ) -> dict:
     """Self-contained VOC mAP: run the engine over the list, match per class.
 
@@ -119,7 +120,7 @@ def voc_map(
     truths = defaultdict(list)  # (cls, img_idx) -> list of boxes
     n_truth = np.zeros(num_classes, np.int64)
     for idx, p in enumerate(paths):
-        boxes, obj, cls, w, h = _predict(engine, p)
+        boxes, obj, cls, w, h = _predict(engine, p, flip=flip)
         probs = obj[:, None] * cls
         probs = native.nms_sort(boxes, probs, nms)
         for k in range(len(boxes)):

@@ -257,15 +257,46 @@ class Engine:
         self._run = _run
         self._raw_heads = jax.jit(fwd)
 
-    def predict(self, images: np.ndarray):
-        """images: (N, H, W, 3) float32 letterboxed to the network size."""
+        from yolo_quantization_tpu.nn.graph import HEAD_SPECS, YoloSpec
+
+        head_specs = [s for s in net.specs if isinstance(s, HEAD_SPECS)]
+
+        @jax.jit
+        def _run_flip(arrays, x):
+            # flip TTA (`detector valid2`, examples/detector.c:260-388): run
+            # the image and its mirror in one doubled batch, average the raw
+            # yolo heads (avg_flipped_yolo), decode once.  Non-yolo heads
+            # keep the unflipped prediction (the reference's flip path only
+            # averages yolo layers).
+            n = x.shape[0]
+            heads = fwd(arrays, jnp.concatenate([x, x[:, :, ::-1, :]], axis=0))
+            merged = []
+            for h_raw, spec in zip(heads, head_specs):
+                if isinstance(spec, YoloSpec):
+                    merged.append(
+                        detect.flip_average_head(h_raw[:n], h_raw[n:], spec.classes)
+                    )
+                else:
+                    merged.append(h_raw[:n])
+            boxes, obj, cls = detect.decode_all_heads(merged, net)
+            return detect.top_k_detections(boxes, obj, cls, self.max_det)
+
+        self._run_flip = _run_flip
+
+    def predict(self, images: np.ndarray, flip: bool = False):
+        """images: (N, H, W, 3) float32 letterboxed to the network size.
+
+        ``flip`` enables horizontal-flip test-time averaging (the reference's
+        `detector valid2` mode).
+        """
         net = self.program.net
         if images.shape[1:] != (net.height, net.width, net.channels):
             raise ValueError(
                 f"engine expects {(net.height, net.width, net.channels)} images, "
                 f"got {images.shape[1:]}; letterbox to the network size first"
             )
-        boxes, obj, cls = self._run(self.arrays, jnp.asarray(images))
+        run = self._run_flip if flip else self._run
+        boxes, obj, cls = run(self.arrays, jnp.asarray(images))
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 
     def raw_heads(self, images: np.ndarray):

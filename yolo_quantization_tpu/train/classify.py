@@ -101,12 +101,26 @@ def _forward_all(net, params, x, mode):
     return outputs, bn_stats
 
 
+def _net_tree(net: NetworkDef):
+    """The hierarchy tree of a trailing [softmax] layer, if any (the darknet
+    classifier's net->hierarchy, src/parser.c:739)."""
+    if net.specs and isinstance(net.specs[-1], SoftmaxSpec):
+        return net.specs[-1].tree
+    return None
+
+
 class ClassifierTrainer:
-    """SGD + momentum softmax-CE training (darknet classifier defaults)."""
+    """SGD + momentum softmax-CE training (darknet classifier defaults).
+
+    Nets whose trailing [softmax] carries a WordTree train with the
+    hierarchical loss (grouped softmax, CE summed over the label's ancestor
+    path) instead of flat CE — the darknet hierarchy classifier path.
+    """
 
     def __init__(self, net: NetworkDef, lr: float = 0.01, momentum: float = 0.9,
                  weight_decay: float = 5e-4, key=None):
         self.net = net
+        self.tree = _net_tree(net)
         self.params = init_params(key or jax.random.PRNGKey(0), net)
         self.tx = optax.chain(
             optax.add_decayed_weights(
@@ -120,7 +134,12 @@ class ClassifierTrainer:
         def step(params, opt_state, images, labels):
             def loss_fn(p):
                 logits, bn_stats = _logits_forward(self.net, p, images, train=True)
-                ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+                if self.tree is not None:
+                    from yolo_quantization_tpu.core.tree import hierarchy_cross_entropy
+
+                    ce = hierarchy_cross_entropy(logits, labels, self.tree)
+                else:
+                    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
                 return jnp.mean(ce), (logits, bn_stats)
 
             (loss, (logits, bn_stats)), grads = jax.value_and_grad(
@@ -145,21 +164,43 @@ class ClassifierTrainer:
 
 
 def evaluate_top_k(net: NetworkDef, params, dataset: ClassificationDataset,
-                   k: int = 5, max_images: int | None = None) -> dict:
-    """Top-1 / top-k accuracy (darknet validate_classifier)."""
+                   k: int = 5, max_images: int | None = None,
+                   tree_thresh: float = 0.5) -> dict:
+    """Top-1 / top-k accuracy (darknet validate_classifier).
+
+    With a WordTree trailing softmax, top-1 uses the greedy hierarchy descent
+    (hierarchy_top_prediction) and top-k ranks by joint path probability —
+    the darknet predict_classifier hierarchy behavior.
+    """
+    tree = _net_tree(net)
     correct1 = correctk = total = 0
     n = min(len(dataset), max_images or len(dataset))
 
     @jax.jit
     def infer(params, x):
         logits, _ = _logits_forward(net, params, x, train=False)
+        if tree is not None:
+            from yolo_quantization_tpu.core.tree import softmax_tree
+
+            return softmax_tree(logits, tree)
         return logits
 
     for i in range(n):
         im, label = dataset.sample(i)
-        logits = np.asarray(infer(params, jnp.asarray(im[None])))[0]
-        order = np.argsort(-logits)
-        correct1 += int(order[0] == label)
+        scores = np.asarray(infer(params, jnp.asarray(im[None])))[0]
+        if tree is not None:
+            from yolo_quantization_tpu.core.tree import (
+                hierarchy_predictions,
+                hierarchy_top_prediction,
+            )
+
+            top1 = hierarchy_top_prediction(scores, tree, tree_thresh)
+            joint = np.asarray(hierarchy_predictions(jnp.asarray(scores), tree))
+            order = np.argsort(-joint)
+            correct1 += int(top1 == label)
+        else:
+            order = np.argsort(-scores)
+            correct1 += int(order[0] == label)
         correctk += int(label in order[:k])
         total += 1
     return {"top1": correct1 / max(total, 1), f"top{k}": correctk / max(total, 1)}
