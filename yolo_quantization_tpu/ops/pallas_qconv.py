@@ -4,23 +4,36 @@ The hand-scheduled counterpart of ops/qconv.py (which lets XLA lower
 lax.conv_general_dilated).  One kernel does, per (image, row-tile,
 out-channel-tile) grid cell:
 
+  - DMA of a row-window SLAB from the HBM-resident padded input into VMEM
+    scratch (only on the first channel tile — the window is reused across
+    channel tiles).  The input is viewed flat as (Hp*Wp, Ci), so each of the
+    K*K taps is ONE contiguous row-slice of the slab at offset dy*Wp+dx —
+    no per-tap vector reshape (Mosaic shape casts of packed int8 vectors are
+    slow or unsupported).  The k-1 garbage columns per row ride through the
+    GEMM (<2-8% extra rows) and are sliced off in XLA afterwards.
   - K*K int8 dot_generals accumulating into an int32 tile (implicit GEMM:
     the im2col of the reference src/im2col.c never materializes; each kernel
-    tap is a shifted (rows, Cin) x (Cin, Co) MXU matmul over the VMEM-resident
-    padded input)
+    tap is a shifted (rows, Cin) x (Cin, Co) MXU matmul over the slab)
   - fused epilogue while the tile is still in VMEM: int32 bias add,
     per-channel f32 requant multiply (M = S1*S2/S3), quantized
     leaky/relu/relu6/linear activation, output zero point, clamp, uint8 store
     (the reference's src/convolutional_layer.c:726-750 epilogue, which there
     is a separate full-tensor CPU pass)
 
+Keeping the input in HBM and streaming windows bounds VMEM by the TILE, not
+the image: large inputs (416 stem, 608 multi-scale) fit where a whole-image
+VMEM block blows the ~16 MB scoped budget.
+
 Scope: stride-1 convs with symmetric weights (the default TPU scheme, see
 infer/convert.py) — every conv in yolov3-tiny.  Strided or asymmetric layers
 fall back to the XLA path; infer/engine.py dispatches per layer.
 
 Layout notes (pallas_guide.md): int8 tiles are (32, 128); row-tiles are chosen
-so rows = TH*W_out is a multiple of 32 where possible and the lane dim is the
-output-channel tile (<=128 channels per grid step).
+so rows = TH*Wp lands near 4096 and the lane dim is the output-channel tile
+(<=128 channels per grid step).  Mosaic memref-slice alignment requires Wp
+8-aligned and Ci 128-aligned (both padded here; channel padding is zeros on
+input AND weights so it contributes nothing — the MXU padded K internally
+anyway).
 """
 
 from __future__ import annotations
@@ -42,16 +55,16 @@ from yolo_quantization_tpu.ops.qconv import (
 )
 
 
-def _row_tile(w_out: int, h_out: int, even: bool = False) -> int:
-    """Pick TH so the GEMM row dim TH*w_out lands near 4096 rows.
+def _row_tile(wp: int, h_out: int, even: bool = False) -> int:
+    """Pick TH so the GEMM row dim TH*Wp lands near 4096 rows.
 
     Prefers a TH that divides h_out exactly (no masked tail work); partial
     tails are still handled correctly via bottom padding in the caller.
     ``even`` additionally requires TH % 2 == 0 (fused pooling).
     """
-    if h_out * w_out <= 4096 and not (even and h_out % 2):
+    if h_out * wp <= 4096 and not (even and h_out % 2):
         return h_out
-    target = max(2 if even else 1, 4096 // w_out)
+    target = max(2 if even else 1, 4096 // wp)
     best = None
     for th in range(target, 0, -1):
         if even and th % 2:
@@ -67,39 +80,52 @@ def _row_tile(w_out: int, h_out: int, even: bool = False) -> int:
 
 
 def _qconv_kernel(
-    x_ref,      # (1, Hp, Wp, Ci) int8, whole padded image (VMEM)
+    x_hbm,      # (N, Hp*Wp, Ci) int8, padded input, flat rows, HBM (ANY)
     w_ref,      # (K, K, Ci, TCO) int8
     bias_ref,   # (1, TCO) int32   (2-D: 1-D operands trip XLA/Mosaic layout
     m_ref,      # (1, TCO) float32  mismatches for multi-tile channel dims)
-    out_ref,    # (1, TH*Wo, TCO) uint8 — or (1, TH/2*Wo/2, TCO) when pooled
-                # (rows stay flat: Mosaic cannot shape-cast packed int8
-                # vectors to split the sublane dim when TCO < 128 lanes; the
-                # caller un-flattens in XLA where the reshape is free)
+    out_ref,    # (1, TH*Wp, TCO) uint8 — or (1, TH/2*Wp/2, TCO) when pooled
+    xwin,       # VMEM scratch ((TH+K-1)*Wp + 8, Ci) int8 — the DMA'd slab
+    dma_sem,
     *,
     k: int,
     th: int,
-    w_out: int,
+    wp: int,
     act: int,
     out_zp: int,
     pool: bool = False,
 ):
-    i = pl.program_id(1)  # row-tile index
-    ci = x_ref.shape[3]
+    nn = pl.program_id(0)  # image index (ANY-space input is the whole array)
+    i = pl.program_id(1)   # row-tile index
+    j = pl.program_id(2)   # channel-tile index (fastest grid dim)
     tco = out_ref.shape[2]
-    acc = jnp.zeros((th * w_out, tco), jnp.int32)
+
+    # fetch the input slab once per (image, row-tile); it is reused by every
+    # channel tile (j is the innermost grid dim, scratch persists).  The +8
+    # tail covers the last tap's dy*Wp+dx offset and keeps the DMA length
+    # 8-aligned.
+    @pl.when(j == 0)
+    def _fetch():
+        copy = pltpu.make_async_copy(
+            x_hbm.at[nn, pl.ds(i * th * wp, (th + k - 1) * wp + 8)],
+            xwin,
+            dma_sem,
+        )
+        copy.start()
+        copy.wait()
+
+    rows = th * wp
+    acc = jnp.zeros((rows, tco), jnp.int32)
     for dy in range(k):
         for dx in range(k):
-            xs = x_ref[0, pl.ds(i * th + dy, th), pl.ds(dx, w_out), :]
-            xs = xs.reshape(th * w_out, ci)
-            wv = w_ref[dy, dx, :, :]
+            xs = xwin[pl.ds(dy * wp + dx, rows), :]  # one slice, no reshape
             acc = acc + lax.dot_general(
                 xs,
-                wv,
+                w_ref[dy, dx, :, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-    rows_h, rows_w = th, w_out
-    orows = out_ref.shape[1]  # block rows, >= rows_h*rows_w (8-aligned)
+    out_rows = rows
     if pool:
         # fused 2x2/stride-2 maxpool, taken on the int32 accumulators BEFORE
         # the epilogue: the per-channel map acc -> code (bias add, requant
@@ -108,13 +134,15 @@ def _qconv_kernel(
         # bit-identical to conv->requant->pool — while doing 1/4 the epilogue
         # work and never writing the conv output to HBM.  Non-overlapping
         # windows because darknet's size-2/stride-2 pool on even maps has
-        # offset 0.  (Pooling after the u8 cast trips Mosaic: 5-D shape casts
-        # of packed int8 vectors are unsupported; in int32 they compile.)
-        acc = acc.reshape(th // 2, 2, w_out // 2, 2, tco)
-        acc = jnp.maximum(acc[:, 0], acc[:, 1])         # (th/2, w/2, 2, tco)
-        acc = jnp.maximum(acc[:, :, 0], acc[:, :, 1])   # (th/2, w/2, tco)
-        rows_h, rows_w = th // 2, w_out // 2
-        acc = acc.reshape(rows_h * rows_w, tco)
+        # offset 0.  Garbage columns pool with garbage only (w_out and Wp are
+        # both even).  (Pooling after the u8 cast trips Mosaic: 5-D shape
+        # casts of packed int8 vectors are unsupported; in int32 they
+        # compile.)
+        acc = acc.reshape(th // 2, 2, wp // 2, 2, tco)
+        acc = jnp.maximum(acc[:, 0], acc[:, 1])         # (th/2, wp/2, 2, tco)
+        acc = jnp.maximum(acc[:, :, 0], acc[:, :, 1])   # (th/2, wp/2, tco)
+        out_rows = (th // 2) * (wp // 2)
+        acc = acc.reshape(out_rows, tco)
     v = jnp.round(
         (acc + bias_ref[0, :].reshape(1, tco)).astype(jnp.float32)
         * m_ref[0, :].reshape(1, tco)
@@ -127,7 +155,7 @@ def _qconv_kernel(
     v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
     # flat-rows store, no vector reshape; partial when the block was padded
     # to the 8-sublane boundary
-    out_ref[0, : rows_h * rows_w, :] = v
+    out_ref[0, :out_rows, :] = v
 
 
 @functools.partial(
@@ -167,34 +195,47 @@ def pallas_quantized_conv2d(
     if fuse_pool and (h_out % 2 or w_out % 2):
         raise ValueError("fuse_pool requires even conv output dims")
 
-    th = _row_tile(w_out, h_out, even=fuse_pool)
+    # Mosaic memref-slice alignment for the slab DMA: Wp to 8 sublanes
+    # (extra right columns become per-row garbage GEMM rows, sliced off at
+    # the end), Ci to 128 lanes (zero-padded, contributes nothing)
+    wp = w + 2 * pad + (-(w + 2 * pad) % 8)
+    right = wp - w - pad
+    ci_extra = -ci % 128
+
+    th = _row_tile(wp, h_out, even=fuse_pool)
     tco = min(co, 128)
     num_row_tiles = pl.cdiv(h_out, th)
     grid = (n, num_row_tiles, pl.cdiv(co, tco))
 
     x_i8 = u8_to_i8(x_u8)
     # Pad top/left/right by `pad` with the zero point; pad the BOTTOM far
-    # enough that the last (partial) row tile's in-kernel dynamic slices never
-    # clamp — a clamped pl.ds start silently shifts every tap's rows and
-    # corrupts the whole tail tile.  Extra rows only feed masked-out outputs.
-    bottom = pad + (num_row_tiles * th - h_out)
-    if pad or bottom:
-        x_i8 = jnp.pad(
-            x_i8,
-            ((0, 0), (pad, bottom), (pad, pad), (0, 0)),
-            constant_values=x_zp_i32.astype(jnp.int8),
-        )
+    # enough that the last (partial) row tile's slab DMA never clamps — a
+    # clamped start silently shifts every tap's rows and corrupts the whole
+    # tail tile.  +1 row covers the slab's 8-element alignment tail.  Extra
+    # rows only feed masked-out outputs.
+    bottom = pad + (num_row_tiles * th - h_out) + 1
+    x_i8 = jnp.pad(
+        x_i8,
+        ((0, 0), (pad, bottom), (pad, right), (0, 0)),
+        constant_values=x_zp_i32.astype(jnp.int8),
+    )
+    if ci_extra:
+        x_i8 = jnp.pad(x_i8, ((0, 0),) * 3 + ((0, ci_extra),))
+        w_i8 = jnp.pad(w_i8, ((0, 0), (0, 0), (0, ci_extra), (0, 0)))
+        ci += ci_extra
+    hp = x_i8.shape[1]
+    x_flat = x_i8.reshape(n, hp * wp, ci)
 
     kernel = functools.partial(
-        _qconv_kernel, k=k, th=th, w_out=w_out, act=act, out_zp=out_zp_static,
+        _qconv_kernel, k=k, th=th, wp=wp, act=act, out_zp=out_zp_static,
         pool=fuse_pool,
     )
     # rows dim stays flat inside the kernel; the 4-D un-flatten below is an
     # XLA reshape (free relayout), not a Mosaic vector shape cast
     if fuse_pool:
-        oh, ow, orows = h_out // 2, w_out // 2, (th // 2) * (w_out // 2)
+        oh, ow, owp, orows = h_out // 2, w_out // 2, wp // 2, (th // 2) * (wp // 2)
     else:
-        oh, ow, orows = h_out, w_out, th * w_out
+        oh, ow, owp, orows = h_out, w_out, wp, th * wp
     # a multi-tile rows dim must be 8-sublane aligned per block (Pallas block
     # layout rule); pad each tile's rows and strip the padding in XLA after
     orows_p = orows if num_row_tiles == 1 else -(-orows // 8) * 8
@@ -207,11 +248,9 @@ def pallas_quantized_conv2d(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, x_i8.shape[1], x_i8.shape[2], ci),
-                lambda nn, ii, jj: (nn, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            # the padded input stays in HBM (whole array; ANY space requires
+            # a trivial index map); the kernel DMAs slabs per grid cell
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
                 (k, k, ci, tco), lambda nn, ii, jj: (0, 0, 0, jj),
                 memory_space=pltpu.VMEM,
@@ -221,10 +260,15 @@ def pallas_quantized_conv2d(
         ],
         out_specs=out_spec,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(((th + k - 1) * wp + 8, ci), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(x_i8, w_i8, bias_i32.reshape(1, -1), m.reshape(1, -1))
-    # strip per-tile alignment padding and bottom-padding rows, un-flatten
+    )(x_flat, w_i8, bias_i32.reshape(1, -1), m.reshape(1, -1))
+    # strip per-tile alignment padding and the garbage columns, un-flatten
     if orows_p != orows:
         out = out.reshape(n, num_row_tiles, orows_p, co)[:, :, :orows]
         out = out.reshape(n, num_row_tiles * orows, co)
-    return out[:, : oh * ow, :].reshape(n, oh, ow, co)
+    out = out[:, : oh * owp, :].reshape(n, oh, owp, co)
+    return out[:, :, :ow, :]
