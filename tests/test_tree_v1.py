@@ -384,6 +384,45 @@ def test_hierarchical_classifier_trains(tree, tmp_path):
     assert res["top1"] >= 0.9
 
 
+def test_yolov1_tiny_end_to_end():
+    """zoo.yolov1_tiny forward -> detection loss -> grads -> decode, at a
+    reduced input size (448 is slow on CPU)."""
+    from yolo_quantization_tpu.eval.detect import decode_all_heads
+    from yolo_quantization_tpu.models import zoo
+    from yolo_quantization_tpu.nn.graph import (
+        DetectionSpec,
+        forward,
+        init_params,
+    )
+    from yolo_quantization_tpu.train.loss import MAX_BOXES, total_loss
+
+    net = zoo.yolov1_tiny(classes=3, width=64, height=64, side=4)
+    assert isinstance(net.specs[-1], DetectionSpec)
+    h, w, cdim = net.shapes()[-1]
+    assert (h, w, cdim) == (1, 1, 4 * 4 * (2 * 5 + 3))
+
+    params = init_params(jax.random.PRNGKey(0), net)
+    x = jnp.zeros((2, 64, 64, 3))
+    heads, _ = forward(net, params, x)
+    assert len(heads) == 1 and heads[0].shape == (2, 4 * 4 * 13)
+
+    truths = np.zeros((2, MAX_BOXES, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.3, 0.3, 1]
+
+    def loss_fn(p):
+        hs, _ = forward(net, p, x)
+        l, _ = total_loss(hs, jnp.asarray(truths), net)
+        return l
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gmax = max(float(jnp.max(jnp.abs(g))) for d in grads.values() for g in d.values())
+    assert gmax > 0
+
+    boxes, obj, cls = decode_all_heads(heads, net)
+    assert boxes.shape == (2, 4 * 4 * 2, 4) and cls.shape[-1] == 3
+
+
 def test_cfg_tree_option(tmp_path):
     """[softmax] tree= and [region] tree= load relative to the cfg file."""
     from yolo_quantization_tpu.models.cfg import load_cfg

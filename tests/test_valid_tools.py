@@ -73,7 +73,7 @@ class TestMAP:
         lf, _ = dataset
         import yolo_quantization_tpu.eval.valid as V
 
-        def fake_predict(engine_, path):
+        def fake_predict(engine_, path, flip=False, class_map=None):
             boxes = np.array([[0.5, 0.5, 0.4, 0.4]], np.float32)
             return boxes, np.array([0.9], np.float32), np.ones((1, 5), np.float32), 64, 64
 

@@ -291,10 +291,16 @@ def cmd_recall(args):
 
 def cmd_valid(args):
     """VOC/COCO result writers + self-contained mAP (reference detector valid)."""
-    from yolo_quantization_tpu.eval.valid import voc_map, write_coco_results, write_voc_results
+    from yolo_quantization_tpu.eval.valid import (
+        read_map,
+        voc_map,
+        write_coco_results,
+        write_voc_results,
+    )
 
     net, _ = _load_model(args)
     engine = _engine_from(args, net)
+    class_map = read_map(args.class_map) if args.class_map else None
     if args.names:
         with open(args.names) as f:
             names = [ln.strip() for ln in f if ln.strip()]
@@ -302,13 +308,14 @@ def cmd_valid(args):
         names = [f"class{i}" for i in range(args.classes)]
     if args.format == "voc":
         files = write_voc_results(engine, args.test_list, args.out_dir, names,
-                                  max_images=args.max_images, flip=args.flip)
+                                  max_images=args.max_images, flip=args.flip,
+                                  class_map=class_map)
         print(f"wrote {len(files)} VOC result files to {args.out_dir}")
     elif args.format == "coco":
         out = write_coco_results(
             engine, args.test_list,
             __import__("os").path.join(args.out_dir, "coco_results.json"),
-            max_images=args.max_images, flip=args.flip,
+            max_images=args.max_images, flip=args.flip, class_map=class_map,
         )
         print(f"wrote {out}")
     if args.map:
@@ -353,7 +360,7 @@ def cmd_weights_tool(args):
 
         out_dir = args.out or "mkimg_out"
         os.makedirs(out_dir, exist_ok=True)
-        for z, im in enumerate(wt.mkimg(net, params, args.size, args.size, args.num)):
+        for z, im in enumerate(wt.mkimg(net, params, args.canvas, args.canvas, args.num)):
             Image.fromarray((im * 255 + 0.5).astype("uint8")).save(
                 os.path.join(out_dir, f"gen_{z}.png")
             )
@@ -500,6 +507,8 @@ def build_parser():
     sp.add_argument("--map", action="store_true", help="also compute mAP@0.5")
     sp.add_argument("--flip", action="store_true",
                     help="horizontal-flip TTA (reference `detector valid2`)")
+    sp.add_argument("--class-map",
+                    help="class index map file (reference .data `map=`)")
     sp.add_argument("--max-images", type=int)
     sp.set_defaults(fn=cmd_valid)
 
@@ -516,7 +525,7 @@ def build_parser():
                     help="conv layer index (visualize: -1 = first conv)")
     sp.add_argument("--scale", type=float, default=1.0)
     sp.add_argument("--num", type=int, default=4, help="mkimg: images to generate")
-    sp.add_argument("--size", type=int, default=256, help="mkimg: canvas size")
+    sp.add_argument("--canvas", type=int, default=256, help="mkimg: canvas size")
     sp.add_argument("--out", help="output path (weights file / png / mkimg dir)")
     sp.set_defaults(fn=cmd_weights_tool)
 

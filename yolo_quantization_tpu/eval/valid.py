@@ -21,20 +21,31 @@ from yolo_quantization_tpu.eval import detect
 from yolo_quantization_tpu.utils import native
 
 
-def _predict(engine, path, flip: bool = False):
+def read_map(path: str) -> list[int]:
+    """Class-index map file, one int per line (read_map, src/utils.c):
+    eval class j takes the model's class map[j] — used to remap model
+    classes onto an eval taxonomy (COCO ids, 9000-tree nodes)."""
+    with open(path) as f:
+        return [int(ln) for ln in f if ln.strip()]
+
+
+def _predict(engine, path, flip: bool = False, class_map=None):
     im = load_image_rgb(path)
     h, w, _ = im.shape
     net = engine.program.net
     x = native.letterbox(im, net.width, net.height)
     boxes, obj, cls = engine.predict(x[None], flip=flip)
+    cls = cls[0]
+    if class_map is not None:
+        cls = cls[:, np.asarray(class_map, np.int64)]
     boxes = detect.correct_boxes(boxes[0], w, h, net.width, net.height)
-    return boxes, obj[0], cls[0], w, h
+    return boxes, obj[0], cls, w, h
 
 
 def write_voc_results(
     engine, list_file: str, out_dir: str, class_names: list[str],
     thresh: float = 0.005, nms: float = 0.45, max_images: int | None = None,
-    flip: bool = False,
+    flip: bool = False, class_map: list[int] | None = None,
 ) -> dict[str, str]:
     """VOC comp4_det_test_<class>.txt writers (print_detector_detections,
     examples/detector.c:167-184): one line per detection,
@@ -50,7 +61,7 @@ def write_voc_results(
     try:
         for p in paths:
             image_id = os.path.splitext(os.path.basename(p))[0]
-            boxes, obj, cls, w, h = _predict(engine, p, flip=flip)
+            boxes, obj, cls, w, h = _predict(engine, p, flip=flip, class_map=class_map)
             probs = obj[:, None] * cls
             probs = native.nms_sort(boxes, probs, nms)
             for k in range(len(boxes)):
@@ -73,6 +84,7 @@ def write_voc_results(
 def write_coco_results(
     engine, list_file: str, out_path: str, thresh: float = 0.005,
     nms: float = 0.45, max_images: int | None = None, flip: bool = False,
+    class_map: list[int] | None = None,
 ) -> str:
     """COCO-format JSON writer (print_cocos, examples/detector.c:186-210)."""
     paths = read_image_list(list_file)
@@ -83,7 +95,7 @@ def write_coco_results(
         stem = os.path.splitext(os.path.basename(p))[0]
         digits = "".join(ch for ch in stem if ch.isdigit())
         image_id = int(digits) if digits else abs(hash(stem)) % 10**9
-        boxes, obj, cls, w, h = _predict(engine, p, flip=flip)
+        boxes, obj, cls, w, h = _predict(engine, p, flip=flip, class_map=class_map)
         probs = obj[:, None] * cls
         probs = native.nms_sort(boxes, probs, nms)
         for k in range(len(boxes)):
@@ -107,6 +119,7 @@ def voc_map(
     engine, list_file: str, num_classes: int, iou_thresh: float = 0.5,
     thresh: float = 0.005, nms: float = 0.45, max_images: int | None = None,
     use_07_metric: bool = False, flip: bool = False,
+    class_map: list[int] | None = None,
 ) -> dict:
     """Self-contained VOC mAP: run the engine over the list, match per class.
 
@@ -120,7 +133,7 @@ def voc_map(
     truths = defaultdict(list)  # (cls, img_idx) -> list of boxes
     n_truth = np.zeros(num_classes, np.int64)
     for idx, p in enumerate(paths):
-        boxes, obj, cls, w, h = _predict(engine, p, flip=flip)
+        boxes, obj, cls, w, h = _predict(engine, p, flip=flip, class_map=class_map)
         probs = obj[:, None] * cls
         probs = native.nms_sort(boxes, probs, nms)
         for k in range(len(boxes)):

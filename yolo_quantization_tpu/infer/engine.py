@@ -74,21 +74,17 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
     def _pallas_eligible(i: int, c) -> bool:
         """Static per-layer check for the Pallas kernel.
 
-        Beyond stride-1/symmetric, the kernel keeps the whole padded input
-        image resident in VMEM with Mosaic's int8 tiling — the last two block
-        dims pad to (32, 128) — so tiny-channel layers (the 3-channel stem
-        conv especially) blow the ~16 MB scoped-VMEM budget: estimate the
-        tiled block size and require headroom.  Those layers are also the
-        ones XLA's native conv handles best (ci < 32 underfills the MXU K
-        dim), so falling back costs nothing.
+        Beyond stride-1/symmetric: the kernel zero-pads the channel dim to
+        128 lanes (DMA alignment), so tiny-channel layers — the 3-channel
+        stem conv especially — would move 8-42x their real bytes; they are
+        also the layers XLA's native conv handles best, so they stay on the
+        XLA path.  Spatial size is unconstrained: the kernel streams row
+        slabs from HBM, VMEM use is bounded by the tile, not the image.
         """
         if c.kind != "qconv" or not c.symmetric_w or c.spec.stride != 1:
             return False
-        ih, iw, ic = shapes[i - 1] if i > 0 else (net.height, net.width, net.channels)
-        p = c.spec.pad
-        hp, wp = ih + 2 * p, iw + 2 * p
-        tiled_bytes = hp * -(-wp // 32) * 32 * -(-ic // 128) * 128
-        return ic >= 16 and tiled_bytes <= 12 * 1024 * 1024
+        _, _, ic = shapes[i - 1] if i > 0 else (net.height, net.width, net.channels)
+        return ic >= 16
 
     # conv+maxpool fusion plan: a Pallas-eligible conv whose only consumer is
     # the immediately following size-2/stride-2 maxpool runs as one kernel

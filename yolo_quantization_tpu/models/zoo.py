@@ -13,6 +13,8 @@ from yolo_quantization_tpu.nn.graph import (
     AvgPoolSpec,
     ConnectedSpec,
     ConvSpec,
+    DetectionSpec,
+    DropoutSpec,
     MaxPoolSpec,
     NetworkDef,
     RegionSpec,
@@ -235,6 +237,35 @@ def yolov2(
                       activation="linear", batch_normalize=False,
                       quantized=q, quant_stop=True))               # 30
     s.append(RegionSpec(anchors=anchors, classes=classes, num=num))
+    return NetworkDef(tuple(s), width=width, height=height)
+
+
+def yolov1_tiny(
+    classes: int = 20,
+    num: int = 2,
+    side: int = 7,
+    width: int = 448,
+    height: int = 448,
+) -> NetworkDef:
+    """Tiny YOLOv1 (darknet tiny-yolo v1 topology): conv/pool backbone, FC
+    head, [detection] layer with the per-cell grid loss
+    (train/loss.detection_head_loss).  v1 predates quantization — all float,
+    like the reference's v1 path."""
+    def c(f, k=3):
+        return ConvSpec(filters=f, size=k, pad=1 if k == 3 else 0,
+                        activation="leaky", quantized=False)
+
+    s: list = []
+    for f in (16, 32, 64, 128, 256, 512):
+        s += [c(f), MaxPoolSpec(2, 2)]
+    s += [c(1024), c(1024), c(1024)]
+    s.append(ConnectedSpec(outputs=256, activation="linear"))
+    s.append(ConnectedSpec(outputs=4096, activation="leaky"))
+    s.append(DropoutSpec(probability=0.5))
+    s.append(ConnectedSpec(outputs=side * side * (num * 5 + classes),
+                           activation="linear"))
+    s.append(DetectionSpec(classes=classes, num=num, side=side, coords=4,
+                           sqrt=True, rescore=True))
     return NetworkDef(tuple(s), width=width, height=height)
 
 
