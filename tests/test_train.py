@@ -144,3 +144,62 @@ class TestAdam:
         losses = [float(trainer.step(images, truths)["loss"]) for _ in range(6)]
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestLRPolicies:
+    """lr_schedule vs a transcription of get_current_rate (src/network.c:106-136)."""
+
+    def _golden(self, cfg, step):
+        import math
+
+        if step < cfg.burn_in:
+            return cfg.learning_rate * (step / cfg.burn_in) ** cfg.power
+        p = cfg.policy
+        if p == "constant":
+            return cfg.learning_rate
+        if p == "step":
+            return cfg.learning_rate * cfg.lr_scale ** (step // cfg.lr_step)
+        if p == "steps":
+            rate = cfg.learning_rate
+            for s, sc in zip(cfg.lr_steps, cfg.lr_scales):
+                if s > step:
+                    return rate
+                rate *= sc
+            return rate
+        if p == "exp":
+            return cfg.learning_rate * cfg.gamma ** step
+        if p == "poly":
+            return cfg.learning_rate * (1 - step / cfg.max_batches) ** cfg.power
+        if p == "sig":
+            return cfg.learning_rate / (1 + math.exp(cfg.gamma * (step - cfg.lr_step)))
+        raise ValueError(p)
+
+    def test_all_policies_match_reference(self):
+        from yolo_quantization_tpu.train.qat import TrainConfig, lr_schedule
+
+        cases = [
+            TrainConfig(policy="constant", burn_in=100),
+            TrainConfig(policy="step", lr_step=500, lr_scale=0.5, burn_in=0),
+            TrainConfig(policy="steps", lr_steps=(100, 1000), lr_scales=(0.1, 0.1),
+                        burn_in=50),
+            TrainConfig(policy="exp", gamma=0.9999, burn_in=0),
+            TrainConfig(policy="poly", max_batches=5000, power=2.0, burn_in=0),
+            TrainConfig(policy="sig", gamma=0.01, lr_step=1000, burn_in=0),
+        ]
+        for cfg in cases:
+            lr = lr_schedule(cfg)
+            for step in (0, 10, 99, 100, 101, 499, 500, 999, 1000, 2500, 4999):
+                got = float(lr(jnp.int32(step)))
+                want = self._golden(cfg, step)
+                # rel 1e-4: lr() computes pow in f32, the golden in f64
+                assert got == pytest.approx(want, rel=1e-4), (cfg.policy, step)
+
+    def test_random_policy_bounded_and_deterministic(self):
+        from yolo_quantization_tpu.train.qat import TrainConfig, lr_schedule
+
+        cfg = TrainConfig(policy="random", power=2.0, burn_in=0, learning_rate=0.1)
+        lr = lr_schedule(cfg)
+        vals = [float(lr(jnp.int32(s))) for s in range(20)]
+        assert all(0.0 <= v <= 0.1 for v in vals)
+        assert len(set(round(v, 9) for v in vals)) > 10  # actually random
+        assert vals == [float(lr(jnp.int32(s))) for s in range(20)]  # replayable

@@ -99,8 +99,13 @@ def parse_cfg(text: str, base_dir: str | None = None) -> tuple[NetworkDef, Train
         weight_decay=float(net_opts.get("decay", 5e-4)),
         burn_in=int(net_opts.get("burn_in", 0)),
         max_batches=int(net_opts.get("max_batches", 500000)),
+        policy=net_opts.get("policy", "constant"),
         lr_steps=_ints(net_opts.get("steps", "")) if "steps" in net_opts else (),
         lr_scales=_floats(net_opts.get("scales", "")) if "scales" in net_opts else (),
+        power=float(net_opts.get("power", 4)),
+        gamma=float(net_opts.get("gamma", 1)),
+        lr_step=int(net_opts.get("step", 1)),
+        lr_scale=float(net_opts.get("scale", 1)),
         quant_start_step=int(net_opts.get("start_quantization_step", 10**9)),
         batch_size=int(net_opts.get("batch", 1)),
         adam=bool(int(net_opts.get("adam", 0))),

@@ -41,8 +41,13 @@ class TrainConfig:
     weight_decay: float = 5e-4
     burn_in: int = 1000
     max_batches: int = 550200
+    policy: str = "steps"  # constant|step|steps|exp|poly|random|sig
     lr_steps: tuple[int, ...] = (400000, 450000)
     lr_scales: tuple[float, ...] = (0.1, 0.1)
+    power: float = 4.0     # burn-in + poly + random exponent
+    gamma: float = 1.0     # exp + sig
+    lr_step: int = 1       # step + sig policies' period/midpoint
+    lr_scale: float = 1.0  # step policy's scale
     quant_start_step: int = 10000
     batch_size: int = 64
     # darknet adam=1 support (src/parser.c:609-613); default SGD+momentum
@@ -61,13 +66,43 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: TrainConfig):
-    """darknet policy=steps with burn-in (src/network.c get_current_rate)."""
+    """The full darknet LR policy set (src/network.c:106-136
+    get_current_rate): burn-in warmup lr*(t/burn_in)^power, then
+    constant / step / steps / exp / poly / random / sig.
+
+    One deviation: `random` uses a per-step counter-based uniform draw
+    (deterministic, resume-stable) instead of the reference's global rand().
+    """
+    base = cfg.learning_rate
 
     def lr(step):
-        rate = jnp.float32(cfg.learning_rate)
-        warm = cfg.learning_rate * (step / max(cfg.burn_in, 1)) ** 4.0
-        for s, sc in zip(cfg.lr_steps, cfg.lr_scales):
-            rate = jnp.where(step > s, rate * sc, rate)
+        stepf = jnp.asarray(step, jnp.float32)
+        if cfg.policy == "constant":
+            rate = jnp.float32(base)
+        elif cfg.policy == "step":
+            rate = base * cfg.lr_scale ** jnp.floor(stepf / max(cfg.lr_step, 1))
+        elif cfg.policy == "steps":
+            # the scale applies AT the boundary step (reference:
+            # "if steps[i] > batch_num return" — i.e. >= applies the drop)
+            rate = jnp.float32(base)
+            for s, sc in zip(cfg.lr_steps, cfg.lr_scales):
+                rate = jnp.where(step >= s, rate * sc, rate)
+        elif cfg.policy == "exp":
+            rate = base * cfg.gamma ** stepf
+        elif cfg.policy == "poly":
+            rate = base * jnp.maximum(
+                1.0 - stepf / max(cfg.max_batches, 1), 0.0
+            ) ** cfg.power
+        elif cfg.policy == "random":
+            u = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(0), jnp.asarray(step, jnp.int32))
+            )
+            rate = base * u ** cfg.power
+        elif cfg.policy == "sig":
+            rate = base / (1.0 + jnp.exp(cfg.gamma * (stepf - cfg.lr_step)))
+        else:
+            raise ValueError(f"unknown LR policy {cfg.policy!r}")
+        warm = base * (stepf / max(cfg.burn_in, 1)) ** cfg.power
         return jnp.where(step < cfg.burn_in, warm, rate)
 
     return lr
