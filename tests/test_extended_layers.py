@@ -218,3 +218,78 @@ class TestExtendedWeightsIO:
                 if i == 2 and k == "bias":
                     continue  # standalone BN beta is not serialized (darknet)
                 np.testing.assert_array_equal(ckpt.params[i][k], v)
+
+
+class TestActivationLibrary:
+    """The 16-activation darknet library vs transcriptions of
+    src/activations.h:19-55."""
+
+    @staticmethod
+    def _c(name, x):
+        import math
+
+        if name == "linear":
+            return x
+        if name == "logistic":
+            return 1.0 / (1.0 + math.exp(-x))
+        if name == "loggy":
+            return 2.0 / (1.0 + math.exp(-x)) - 1
+        if name == "relu":
+            return x * (x > 0)
+        if name == "elu":
+            return (x >= 0) * x + (x < 0) * (math.exp(x) - 1)
+        if name == "selu":
+            return (x >= 0) * 1.0507 * x + (x < 0) * 1.0507 * 1.6732 * (math.exp(x) - 1)
+        if name == "relie":
+            return x if x > 0 else 0.01 * x
+        if name == "ramp":
+            return x * (x > 0) + 0.1 * x
+        if name == "leaky6":
+            return 6 if x > 6 else (x if x > 0 else 0.1 * x)
+        if name == "relu6":
+            return min(max(x, 0), 6)
+        if name == "leaky":
+            return x if x > 0 else 0.1 * x
+        if name == "tanh":
+            return (math.exp(2 * x) - 1) / (math.exp(2 * x) + 1)
+        if name == "plse":
+            if x < -4:
+                return 0.01 * (x + 4)
+            if x > 4:
+                return 0.01 * (x - 4) + 1
+            return 0.125 * x + 0.5
+        if name == "stair":
+            n = math.floor(x)
+            if n % 2 == 0:
+                return math.floor(x / 2.0)
+            return (x - n) + math.floor(x / 2.0)
+        if name == "hardtan":
+            return -1 if x < -1 else (1 if x > 1 else x)
+        if name == "lhtan":
+            if x < 0:
+                return 0.001 * x
+            if x > 1:
+                return 0.001 * (x - 1) + 1
+            return x
+        raise ValueError(name)
+
+    def test_all_match_c(self):
+        names = ("linear", "logistic", "loggy", "relu", "elu", "selu", "relie",
+                 "ramp", "leaky6", "relu6", "leaky", "tanh", "plse", "stair",
+                 "hardtan", "lhtan")
+        xs = np.array([-8.0, -4.5, -4.0, -1.0, -0.3, 0.0, 0.3, 1.0, 2.7, 4.0,
+                       4.5, 6.0, 8.0], np.float32)
+        for name in names:
+            got = np.asarray(L.activate(jnp.asarray(xs), name))
+            want = np.array([self._c(name, float(v)) for v in xs], np.float32)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7,
+                                       err_msg=name)
+
+    def test_all_differentiable(self):
+        names = ("logistic", "loggy", "relu", "elu", "selu", "relie", "ramp",
+                 "leaky6", "relu6", "leaky", "tanh", "plse", "hardtan", "lhtan")
+        for name in names:
+            g = jax.grad(lambda v, n=name: jnp.sum(L.activate(v, n)))(
+                jnp.asarray([-2.0, 0.5, 3.0])
+            )
+            assert np.isfinite(np.asarray(g)).all(), name

@@ -36,12 +36,13 @@ from yolo_quantization_tpu.nn.graph import (
 )
 from yolo_quantization_tpu.train.qat import TrainConfig
 
-_ACT_MAP = {
-    "linear": "linear",
-    "leaky": "leaky",
-    "relu": "relu",
-    "relu6": "relu6",
-    "logistic": "logistic",
+_ACT_MAP = {  # every darknet cfg activation name (src/activations.c get_activation)
+    name: name
+    for name in (
+        "linear", "leaky", "relu", "relu6", "leaky6", "logistic", "loggy",
+        "relie", "ramp", "tanh", "elu", "selu", "plse", "stair", "hardtan",
+        "lhtan",
+    )
 }
 
 

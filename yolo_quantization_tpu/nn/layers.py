@@ -17,7 +17,9 @@ BN_EPS = 1e-6  # reference adds 1e-6 to sqrt(var), src/blas.c:576
 
 
 def activate(x: jax.Array, name: str) -> jax.Array:
-    """darknet activations used by the YOLO family (src/activations.h:39-41)."""
+    """The complete darknet activation library (src/activations.h:19-55,
+    enum include/darknet.h:87-89): LOGISTIC RELU RELIE LINEAR RAMP TANH PLSE
+    LEAKY6 RELU6 LEAKY ELU LOGGY STAIR HARDTAN LHTAN SELU."""
     if name == "linear":
         return x
     if name == "leaky":
@@ -26,8 +28,42 @@ def activate(x: jax.Array, name: str) -> jax.Array:
         return jnp.maximum(x, 0.0)
     if name == "relu6":
         return jnp.clip(x, 0.0, 6.0)
+    if name == "leaky6":
+        return jnp.where(x > 6, 6.0, jnp.where(x > 0, x, 0.1 * x))
     if name == "logistic":
         return jax.nn.sigmoid(x)
+    if name == "loggy":
+        return 2.0 * jax.nn.sigmoid(x) - 1.0
+    if name == "relie":
+        return jnp.where(x > 0, x, 0.01 * x)
+    if name == "ramp":
+        return x * (x > 0) + 0.1 * x
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "elu":
+        return jnp.where(x >= 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+    if name == "selu":
+        return jnp.where(
+            x >= 0, 1.0507 * x, 1.0507 * 1.6732 * (jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+        )
+    if name == "plse":
+        return jnp.where(
+            x < -4, 0.01 * (x + 4),
+            jnp.where(x > 4, 0.01 * (x - 4) + 1.0, 0.125 * x + 0.5),
+        )
+    if name == "stair":
+        n = jnp.floor(x)
+        return jnp.where(
+            jnp.floor(x).astype(jnp.int32) % 2 == 0,
+            jnp.floor(x / 2.0),
+            (x - n) + jnp.floor(x / 2.0),
+        )
+    if name == "hardtan":
+        return jnp.clip(x, -1.0, 1.0)
+    if name == "lhtan":
+        return jnp.where(
+            x < 0, 0.001 * x, jnp.where(x > 1, 0.001 * (x - 1) + 1.0, x)
+        )
     raise ValueError(f"unknown activation {name!r}")
 
 
