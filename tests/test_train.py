@@ -146,6 +146,47 @@ class TestAdam:
         assert losses[-1] < losses[0]
 
 
+class TestPrune:
+    """Magnitude pruning (the reference's PRUNE build flag,
+    src/network.c:264-277 + src/convolutional_kernels.cu:360-365)."""
+
+    def test_small_weights_zeroed_and_sparsity_reported(self, tiny_net):
+        # huge threshold: everything below 10 is pruned each step, so conv
+        # kernels stay pinned near zero (regrowth is one SGD step at most)
+        cfg = TrainConfig(burn_in=0, quant_start_step=10**9,
+                          prune=True, prune_threshold=10.0, learning_rate=0.0,
+                          weight_decay=0.0)
+        trainer = Trainer(tiny_net, cfg, key=jax.random.PRNGKey(0))
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 160, 160, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        metrics = trainer.step(images, truths)
+        assert float(metrics["sparsity"]) == pytest.approx(1.0)
+        # lr=0 so post-prune update is a no-op: weights are exactly zero
+        w = np.asarray(trainer.state.params[0]["w"])
+        assert np.all(w == 0.0)
+
+    def test_prune_threshold_selective(self, tiny_net):
+        cfg = TrainConfig(burn_in=0, quant_start_step=10**9,
+                          prune=True, prune_threshold=1e-3)
+        trainer = Trainer(tiny_net, cfg, key=jax.random.PRNGKey(0))
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 160, 160, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        losses = []
+        for _ in range(4):
+            m = trainer.step(images, truths)
+            losses.append(float(m["loss"]))
+        s = float(m["sparsity"])
+        assert 0.0 < s < 0.5  # some but not most weights under 1e-3
+        assert np.isfinite(losses).all()
+
+    def test_prune_off_has_no_sparsity_metric(self, tiny_net):
+        cfg = TrainConfig(burn_in=0, quant_start_step=10**9)
+        trainer = Trainer(tiny_net, cfg, key=jax.random.PRNGKey(0))
+        images = jax.random.uniform(jax.random.PRNGKey(1), (2, 160, 160, 3))
+        truths = make_truths(2, [])
+        assert "sparsity" not in trainer.step(images, truths)
+
+
 class TestLRPolicies:
     """lr_schedule vs a transcription of get_current_rate (src/network.c:106-136)."""
 

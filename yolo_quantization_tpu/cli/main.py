@@ -99,6 +99,10 @@ def cmd_train(args):
         tcfg = type(tcfg)(**{**tcfg.__dict__, "max_batches": args.max_batches})
     if args.quant_start is not None:
         tcfg = type(tcfg)(**{**tcfg.__dict__, "quant_start_step": args.quant_start})
+    if args.prune:
+        tcfg = type(tcfg)(
+            **{**tcfg.__dict__, "prune": True, "prune_threshold": args.prune_threshold}
+        )
 
     trainer = Trainer(net, tcfg)
     start = 0
@@ -138,11 +142,17 @@ def cmd_train(args):
                 metrics = trainer.step(images, truths)
             loss = float(metrics["loss"])
             avg_loss = loss if avg_loss is None else 0.9 * avg_loss + 0.1 * loss
-            # per-batch line, reference examples/detector.c:131
+            # per-batch line, reference examples/detector.c:131; sparsity is
+            # the reference's "prune zeros:%d,all:%d" (src/network.c:316)
+            prune_info = (
+                f", sparsity {float(metrics['sparsity']):.3f}"
+                if "sparsity" in metrics
+                else ""
+            )
             print(
                 f"{step + 1}: loss {loss:.4f}, avg {avg_loss:.4f}, "
                 f"lr {float(metrics['lr']):.6f}, {time.time() - t0:.2f}s, "
-                f"{(step + 1) * tcfg.batch_size} images"
+                f"{(step + 1) * tcfg.batch_size} images{prune_info}"
             )
             if ckpt.checkpoint_cadence(step + 1):
                 ckpt.save_checkpoint(args.backup_dir, trainer.state)
@@ -461,6 +471,9 @@ def build_parser():
     sp.add_argument("--multiscale", action="store_true",
                     help="random input resolution in {320..608} every 10 batches")
     sp.add_argument("--data-parallel", action="store_true")
+    sp.add_argument("--prune", action="store_true",
+                    help="magnitude pruning each update (reference PRUNE build flag)")
+    sp.add_argument("--prune-threshold", type=float, default=0.001)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("detect", help="single-image quantized inference")

@@ -56,6 +56,13 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-7
     input_calibration: tuple[float, ...] = ()  # parsed for cfg parity
+    # Magnitude pruning (the reference's PRUNE build flag, Makefile:6 —
+    # compile-time there, runtime config here per SURVEY §5.6): every update,
+    # conv kernel weights with |w| < threshold are zeroed along with their
+    # momentum (src/network.c:264-277 CPU, src/convolutional_kernels.cu:364 +
+    # src/blas_kernels.cu:59-73 GPU; 0.001 is the GPU path's threshold).
+    prune: bool = False
+    prune_threshold: float = 0.001
 
 
 class TrainState(NamedTuple):
@@ -113,6 +120,59 @@ def _decay_mask(params):
     return {i: {k: (k == "w") for k in p} for i, p in params.items()}
 
 
+def _prune_step(net: NetworkDef, cfg: TrainConfig, params, opt_state):
+    """Magnitude pruning, applied just before the optimizer update exactly
+    like the reference (src/network.c:299-311 prunes each conv then calls
+    l.update; src/convolutional_kernels.cu:360-365 prunes at the top of the
+    GPU update): conv kernel weights with |w| < threshold are zeroed together
+    with their momentum (the reference zeroes l.weight_updates, its momentum
+    buffer).  Returns (params, opt_state, sparsity) where sparsity is the
+    zeroed fraction — the reference's per-update "prune zeros:%d,all:%d"
+    counter (src/network.c:316) as a metric instead of a printf.
+
+    Deviation noted: the reference CPU path tests ``w < 0.01`` (unsigned,
+    src/network.c:269 — large negative weights get zeroed); we follow the GPU
+    kernel's |w| < threshold (src/blas_kernels.cu:62), which is the intended
+    semantics.
+    """
+    params = {i: dict(p) for i, p in params.items()}
+    masks = {}
+    zeros = jnp.int32(0)
+    total = 0
+    for i, s in enumerate(net.specs):
+        if not (isinstance(s, ConvSpec) and i in params):
+            continue
+        w = params[i]["w"]
+        m = jnp.abs(w) >= cfg.prune_threshold
+        params[i]["w"] = jnp.where(m, w, 0.0)
+        masks[i] = m
+        zeros = zeros + jnp.sum(~m)
+        total += w.size
+
+    def mask_tree(tree):
+        out = dict(tree)
+        for i, m in masks.items():
+            li = dict(out[i])
+            li["w"] = jnp.where(m, li["w"], 0.0)
+            out[i] = li
+        return out
+
+    def fix(state):
+        if isinstance(state, optax.TraceState):
+            return optax.TraceState(trace=mask_tree(state.trace))
+        if isinstance(state, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=state.count, mu=mask_tree(state.mu), nu=state.nu
+            )
+        return state
+
+    is_momentum = lambda x: isinstance(
+        x, (optax.TraceState, optax.ScaleByAdamState)
+    )
+    opt_state = jax.tree.map(fix, opt_state, is_leaf=is_momentum)
+    return params, opt_state, zeros / jnp.float32(max(total, 1))
+
+
 def make_optimizer(cfg: TrainConfig):
     if cfg.adam:
         opt = optax.adam(
@@ -160,8 +220,12 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.quant_state, images, truths
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = state.params, state.opt_state
+        sparsity = None
+        if cfg.prune:
+            params, opt_state, sparsity = _prune_step(net, cfg, params, opt_state)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
         # BN rolling stats update (darknet .99/.01 EMA)
         for i, (mean, var) in aux["bn_stats"].items():
             params[i]["mean"] = (
@@ -173,6 +237,8 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
         quant_state = aux["quant_state"] if qat else state.quant_state
         new_state = TrainState(params, opt_state, quant_state, state.step + 1)
         metrics = {"loss": loss, "lr": lr_schedule(cfg)(state.step)}
+        if sparsity is not None:
+            metrics["sparsity"] = sparsity
         return new_state, metrics
 
     return step
