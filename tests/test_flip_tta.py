@@ -63,3 +63,25 @@ def test_flip_tta_differs_from_plain(small_engine):
     _, o_plain, _ = small_engine.predict(x)
     _, o_tta, _ = small_engine.predict(x, flip=True)
     assert not np.allclose(np.sort(o_plain.ravel()), np.sort(o_tta.ravel()))
+
+
+def test_float_engine_flip_tta():
+    """FloatEngine.predict(flip=True) — same TTA semantics on the float
+    fallback path, so valid2/valid work on float checkpoints too."""
+    import jax
+
+    from yolo_quantization_tpu.infer.float_engine import FloatEngine
+    from yolo_quantization_tpu.models import zoo
+    from yolo_quantization_tpu.nn.graph import init_params
+
+    net = zoo.yolov3_tiny(classes=5, width=128, height=128)
+    params = init_params(jax.random.PRNGKey(0), net)
+    eng = FloatEngine(net, params, max_det=32)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    xf = x[:, :, ::-1, :].copy()
+    b1, o1, _ = eng.predict(x, flip=True)
+    b2, o2, _ = eng.predict(xf, flip=True)
+    np.testing.assert_allclose(np.sort(o1.ravel()), np.sort(o2.ravel()), atol=1e-5)
+    _, o_plain, _ = eng.predict(x)
+    assert not np.allclose(np.sort(o_plain.ravel()), np.sort(o1.ravel()))

@@ -7,7 +7,12 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from yolo_quantization_tpu.eval.valid import voc_map, write_coco_results, write_voc_results
+from yolo_quantization_tpu.eval.valid import (
+    voc_map,
+    write_coco_results,
+    write_imagenet_results,
+    write_voc_results,
+)
 from yolo_quantization_tpu.infer.engine import Engine
 from yolo_quantization_tpu.models import weights_tools as wt
 from yolo_quantization_tpu.models import zoo
@@ -50,6 +55,22 @@ class TestWriters:
             assert len(parts) == 6
             assert parts[0].startswith("im")
             float(parts[1])
+
+    def test_imagenet_txt(self, dataset, engine, tmp_path_factory):
+        """myvalid's eval=imagenet writer (print_imagenet_detections,
+        examples/detector.c:238-258): 1-based image index, cls+1, clamped
+        pixel boxes."""
+        lf, _ = dataset
+        out = os.path.join(str(tmp_path_factory.mktemp("inet_out")), "det.txt")
+        write_imagenet_results(engine, lf, out)
+        lines = open(out).read().strip().splitlines()
+        for ln in lines:
+            parts = ln.split()
+            assert len(parts) == 7
+            idx, cls = int(parts[0]), int(parts[1])
+            assert 1 <= idx <= 3 and 1 <= cls <= 5
+            x1, y1, x2, y2 = map(float, parts[3:])
+            assert 0 <= x1 <= x2 <= 64 and 0 <= y1 <= y2 <= 64
 
     def test_coco_json(self, dataset, engine, tmp_path_factory):
         lf, _ = dataset

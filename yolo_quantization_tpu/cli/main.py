@@ -305,6 +305,7 @@ def cmd_valid(args):
         read_map,
         voc_map,
         write_coco_results,
+        write_imagenet_results,
         write_voc_results,
     )
 
@@ -325,6 +326,13 @@ def cmd_valid(args):
         out = write_coco_results(
             engine, args.test_list,
             __import__("os").path.join(args.out_dir, "coco_results.json"),
+            max_images=args.max_images, flip=args.flip, class_map=class_map,
+        )
+        print(f"wrote {out}")
+    elif args.format == "imagenet":
+        out = write_imagenet_results(
+            engine, args.test_list,
+            __import__("os").path.join(args.out_dir, "imagenet-detection.txt"),
             max_images=args.max_images, flip=args.flip, class_map=class_map,
         )
         print(f"wrote {out}")
@@ -515,7 +523,8 @@ def build_parser():
     common(sp)
     sp.add_argument("--test-list", required=True)
     sp.add_argument("--out-dir", default="results")
-    sp.add_argument("--format", choices=("voc", "coco", "none"), default="voc")
+    sp.add_argument("--format", choices=("voc", "coco", "imagenet", "none"),
+                    default="voc")
     sp.add_argument("--names", help="class names file")
     sp.add_argument("--map", action="store_true", help="also compute mAP@0.5")
     sp.add_argument("--flip", action="store_true",

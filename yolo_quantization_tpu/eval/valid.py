@@ -115,6 +115,39 @@ def write_coco_results(
     return out_path
 
 
+def write_imagenet_results(
+    engine, list_file: str, out_path: str, thresh: float = 0.005,
+    nms: float = 0.45, max_images: int | None = None, flip: bool = False,
+    class_map: list[int] | None = None,
+) -> str:
+    """ImageNet detection-format writer (print_imagenet_detections,
+    examples/detector.c:238-258, used by `detector myvalid` with eval=imagenet):
+    one txt file, "<image_index> <cls+1> <score> <x1> <y1> <x2> <y2>" with
+    pixel coords clamped to the image, image_index 1-based over the list."""
+    paths = read_image_list(list_file)
+    if max_images:
+        paths = paths[:max_images]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        for idx, p in enumerate(paths, start=1):
+            boxes, obj, cls, w, h = _predict(engine, p, flip=flip, class_map=class_map)
+            probs = obj[:, None] * cls
+            probs = native.nms_sort(boxes, probs, nms)
+            for k in range(len(boxes)):
+                x, y, bw, bh = boxes[k]
+                x1 = max((x - bw / 2) * w, 0.0)
+                x2 = min((x + bw / 2) * w, float(w))
+                y1 = max((y - bh / 2) * h, 0.0)
+                y2 = min((y + bh / 2) * h, float(h))
+                for ci in range(probs.shape[1]):
+                    if probs[k, ci] > thresh:
+                        f.write(
+                            f"{idx} {ci + 1} {probs[k, ci]:.6f} "
+                            f"{x1:.6f} {y1:.6f} {x2:.6f} {y2:.6f}\n"
+                        )
+    return out_path
+
+
 def voc_map(
     engine, list_file: str, num_classes: int, iou_thresh: float = 0.5,
     thresh: float = 0.005, nms: float = 0.45, max_images: int | None = None,

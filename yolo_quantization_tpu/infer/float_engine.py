@@ -13,7 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_quantization_tpu.eval import detect
-from yolo_quantization_tpu.nn.graph import ForwardMode, NetworkDef, forward
+from yolo_quantization_tpu.nn.graph import (
+    HEAD_SPECS,
+    ForwardMode,
+    NetworkDef,
+    YoloSpec,
+    forward,
+)
 
 
 class FloatEngine:
@@ -23,6 +29,7 @@ class FloatEngine:
         self.params = jax.device_put(
             {i: {k: np.asarray(v) for k, v in p.items()} for i, p in params.items()}
         )
+        head_specs = [s for s in net.specs if isinstance(s, HEAD_SPECS)]
 
         @jax.jit
         def _run(params, x):
@@ -30,7 +37,29 @@ class FloatEngine:
             boxes, obj, cls = detect.decode_all_heads(heads, net)
             return detect.top_k_detections(boxes, obj, cls, max_det)
 
+        @jax.jit
+        def _run_flip(params, x):
+            # same flip TTA as the integer Engine (`detector valid2`,
+            # examples/detector.c:260-388): mirror in one doubled batch,
+            # average the raw yolo heads, decode once
+            n = x.shape[0]
+            heads, _ = forward(
+                net, params, jnp.concatenate([x, x[:, :, ::-1, :]], axis=0),
+                ForwardMode(),
+            )
+            merged = []
+            for h_raw, spec in zip(heads, head_specs):
+                if isinstance(spec, YoloSpec):
+                    merged.append(
+                        detect.flip_average_head(h_raw[:n], h_raw[n:], spec.classes)
+                    )
+                else:
+                    merged.append(h_raw[:n])
+            boxes, obj, cls = detect.decode_all_heads(merged, net)
+            return detect.top_k_detections(boxes, obj, cls, max_det)
+
         self._run = _run
+        self._run_flip = _run_flip
         self._raw = jax.jit(
             lambda p, x: forward(net, p, x, ForwardMode())[0]
         )
@@ -42,14 +71,15 @@ class FloatEngine:
 
         return _P()
 
-    def predict(self, images: np.ndarray):
+    def predict(self, images: np.ndarray, flip: bool = False):
         net = self.net
         if images.shape[1:] != (net.height, net.width, net.channels):
             raise ValueError(
                 f"engine expects {(net.height, net.width, net.channels)} images, "
                 f"got {images.shape[1:]}"
             )
-        boxes, obj, cls = self._run(self.params, jnp.asarray(images))
+        run = self._run_flip if flip else self._run
+        boxes, obj, cls = run(self.params, jnp.asarray(images))
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 
     def raw_heads(self, images: np.ndarray):
