@@ -18,7 +18,17 @@ except ImportError:  # pragma: no cover - PIL is in the image
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """Decode to float32 HWC RGB in [0, 1] (reference src/image.c:1270-1316)."""
+    """Decode to float32 HWC RGB in [0, 1] (reference src/image.c:1270-1316).
+
+    Uses the native libjpeg/libpng decoder (native/yoloq_image.cc) when
+    built — it runs outside the GIL, so loader threads decode in parallel —
+    and falls back to PIL for other formats or when the library is absent.
+    """
+    from yolo_quantization_tpu.utils import native
+
+    arr = native.decode_image(path)
+    if arr is not None:
+        return arr
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
     return arr

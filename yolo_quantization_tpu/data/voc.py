@@ -88,6 +88,15 @@ def distort_hsv(im: np.ndarray, rng: np.random.Generator, cfg: AugmentConfig) ->
     dhue = rng.uniform(-cfg.hue, cfg.hue)
     dsat = _rand_scale(rng, cfg.saturation)
     dexp = _rand_scale(rng, cfg.exposure)
+    return distort_hsv_params(im, dhue, dsat, dexp)
+
+
+def distort_hsv_params(
+    im: np.ndarray, dhue: float, dsat: float, dexp: float
+) -> np.ndarray:
+    """Deterministic HSV distortion (src/image.c distort_image): RGB->HSV,
+    hue shift mod 1, saturation/value scale clamp, HSV->RGB.  This is the
+    golden reference for the native kernel (native/yoloq_image.cc)."""
     r, g, b = im[..., 0], im[..., 1], im[..., 2]
     mx = im.max(axis=-1)
     mn = im.min(axis=-1)
@@ -123,6 +132,26 @@ def distort_hsv(im: np.ndarray, rng: np.random.Generator, cfg: AugmentConfig) ->
     return out.astype(np.float32)
 
 
+def place_distort_flip_numpy(
+    im: np.ndarray, out_w: int, out_h: int, nw: int, nh: int, dx: int, dy: int,
+    dhue: float, dsat: float, dexp: float, flip: bool,
+) -> np.ndarray:
+    """numpy reference for the fused augmentation kernel
+    (native/yoloq_image.cc yq_augment_place): darknet-bilinear resize to
+    (nh, nw), placement at (dx, dy) on a 0.5-gray canvas, HSV distortion,
+    optional horizontal flip."""
+    resized = resize_bilinear_darknet(im, nw, nh)
+    canvas = np.full((out_h, out_w, 3), 0.5, np.float32)
+    sy0, sy1 = max(0, -dy), min(nh, out_h - dy)
+    sx0, sx1 = max(0, -dx), min(nw, out_w - dx)
+    if sy1 > sy0 and sx1 > sx0:
+        canvas[dy + sy0 : dy + sy1, dx + sx0 : dx + sx1] = resized[sy0:sy1, sx0:sx1]
+    canvas = distort_hsv_params(canvas, dhue, dsat, dexp)
+    if flip:
+        canvas = canvas[:, ::-1].copy()
+    return canvas
+
+
 def augment_detection(
     im: np.ndarray,
     boxes: np.ndarray,
@@ -152,18 +181,17 @@ def augment_detection(
     nw, nh = max(nw, 1), max(nh, 1)
     dx = int(rng.uniform(0, max(out_w - nw, 0))) if out_w > nw else int(rng.uniform(out_w - nw, 0))
     dy = int(rng.uniform(0, max(out_h - nh, 0))) if out_h > nh else int(rng.uniform(out_h - nh, 0))
-
-    resized = resize_bilinear_darknet(im, nw, nh)
-    canvas = np.full((out_h, out_w, 3), 0.5, np.float32)
-    sy0, sy1 = max(0, -dy), min(nh, out_h - dy)
-    sx0, sx1 = max(0, -dx), min(nw, out_w - dx)
-    if sy1 > sy0 and sx1 > sx0:
-        canvas[dy + sy0 : dy + sy1, dx + sx0 : dx + sx1] = resized[sy0:sy1, sx0:sx1]
-
-    canvas = distort_hsv(canvas, rng, cfg)
+    dhue = rng.uniform(-cfg.hue, cfg.hue)
+    dsat = _rand_scale(rng, cfg.saturation)
+    dexp = _rand_scale(rng, cfg.exposure)
     flip = cfg.flip and rng.random() < 0.5
-    if flip:
-        canvas = canvas[:, ::-1].copy()
+
+    # fused per-pixel chain: native C++ kernel when built, numpy otherwise
+    from yolo_quantization_tpu.utils import native
+
+    canvas = native.augment_place(
+        im, out_w, out_h, nw, nh, dx, dy, dhue, dsat, dexp, flip
+    )
 
     # transform boxes: relative-in-source -> relative-in-canvas
     out_boxes = []

@@ -63,6 +63,25 @@ def load_library(build: bool = True) -> ctypes.CDLL | None:
             F, ctypes.c_int, ctypes.c_int, F, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.yq_version.restype = ctypes.c_int
+        # image decode + augmentation entry points only exist when the
+        # library was built with libjpeg/libpng (native/Makefile HAVE_IMG)
+        I = ctypes.POINTER(ctypes.c_int)
+        try:
+            lib.yq_image_size.restype = ctypes.c_int
+            lib.yq_image_size.argtypes = [ctypes.c_char_p, I, I]
+            lib.yq_decode_image.restype = ctypes.c_int
+            lib.yq_decode_image.argtypes = [
+                ctypes.c_char_p, F, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.yq_augment_place.restype = None
+            lib.yq_augment_place.argtypes = [
+                F, ctypes.c_int, ctypes.c_int, F, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ]
+            lib._has_image = True
+        except AttributeError:
+            lib._has_image = False
         _lib = lib
         return _lib
 
@@ -126,6 +145,46 @@ def match_truths(
         _ptr(db), _ptr(do), len(do), _ptr(tb), len(tb), thresh, iou_thresh, _ptr(acc)
     )
     return int(tp), float(acc[0])
+
+
+def decode_image(path: str) -> np.ndarray | None:
+    """libjpeg/libpng decode to float32 HWC RGB in [0,1] (the reference's
+    stb-based load_image, src/image.c:1270-1316).  None -> caller falls back
+    to PIL (unsupported format, or library built without image support)."""
+    lib = load_library()
+    if lib is None or not lib._has_image:
+        return None
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.yq_image_size(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    dst = np.empty((h.value, w.value, 3), np.float32)
+    if lib.yq_decode_image(path.encode(), _ptr(dst), h.value, w.value) != 0:
+        return None
+    return dst
+
+
+def augment_place(
+    im: np.ndarray, out_w: int, out_h: int, nw: int, nh: int, dx: int, dy: int,
+    dhue: float, dsat: float, dexp: float, flip: bool,
+) -> np.ndarray:
+    """Fused resize + canvas placement + HSV distort + flip for one training
+    sample (load_data_detection per-pixel chain, src/data.c:1036-1088).
+    Random parameters are drawn by the caller; the numpy fallback in
+    data/voc.py is the golden reference the native kernel is tested against."""
+    lib = load_library()
+    if lib is None or not lib._has_image:
+        from yolo_quantization_tpu.data.voc import place_distort_flip_numpy
+
+        return place_distort_flip_numpy(
+            im, out_w, out_h, nw, nh, dx, dy, dhue, dsat, dexp, flip
+        )
+    src = _f32(im)
+    dst = np.empty((out_h, out_w, 3), np.float32)
+    lib.yq_augment_place(
+        _ptr(src), im.shape[0], im.shape[1], _ptr(dst), out_h, out_w,
+        nw, nh, dx, dy, dhue, dsat, dexp, int(flip),
+    )
+    return dst
 
 
 def letterbox(im: np.ndarray, net_w: int, net_h: int) -> np.ndarray:
