@@ -6,8 +6,11 @@ amortized-timing both paths, to guide kernel tuning.  Run on TPU:
     python scripts/bench_layers.py [batch]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,340 @@
+#!/usr/bin/env python
+"""Cross-binary parity harness against the compiled reference darknet.
+
+Proves that a checkpoint written by our serializer runs identically in the
+reference C binary (ArtyZe/yolo_quantization) and in this framework:
+
+  1. build the reference CPU binary + parity shim (scripts/build_reference.sh)
+  2. import the reference's own cfg (cfg/yolov3_tiny_quant_channelwise.cfg),
+     init random params, calibrate quant ranges on the reference's test image,
+     export a .weights file with the quant extension
+  3. run native/parity_shim (our harness linked against the reference objects,
+     reproducing `darknet detector test`, examples/detector.c:878-950) -> dumps
+     the letterboxed input, every layer's uint8/f32 output, and raw detections
+  4. TIER 1 (bit-exact): run the numpy C-twin (yolo_quantization_tpu/parity)
+     on the same input and assert byte-identical uint8 layer outputs,
+     bit-identical quant_stop dequants, and matching detections
+  5. TIER 2 (engine): run the TPU integer engine (route_rescale=False so the
+     concat semantics match the reference's raw byte copy) and report per-layer
+     LSB deltas, detection agreement, and the detector-f1 protocol's TP/FP/FN
+     (examples/detector.c:805-854) computed identically on both detection sets
+
+Usage: python scripts/parity_c.py [--image PATH] [--thresh T] [--out DIR]
+Prints one JSON verdict line at the end; exit 0 iff tier 1 is exact and
+tier 2 counts match.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.environ.get("REF", "/root/reference")
+CFG = os.path.join(REF, "cfg", "yolov3_tiny_quant_channelwise.cfg")
+sys.path.insert(0, REPO)
+
+LAYER_TYPE_U8 = {"ConvSpec", "MaxPoolSpec", "RouteSpec", "UpsampleSpec"}
+
+
+def build_reference() -> str | None:
+    """Build the reference out-of-tree; returns shim path or None."""
+    script = os.path.join(REPO, "scripts", "build_reference.sh")
+    try:
+        subprocess.run(["bash", script], check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        out = getattr(e, "stderr", "") or str(e)
+        print(f"reference build failed: {out[-2000:]}", file=sys.stderr)
+        return None
+    shim = os.path.join(REPO, "build", "ref", "parity_shim")
+    return shim if os.path.exists(shim) else None
+
+
+def export_checkpoint(outdir: str, image_path: str, seed: int = 0):
+    """Random-weight tiny model + quant ranges calibrated on the test image."""
+    import jax
+
+    from yolo_quantization_tpu.data.image import letterbox, load_image_rgb
+    from yolo_quantization_tpu.models.cfg import load_cfg
+    from yolo_quantization_tpu.models.darknet_weights import save_darknet_weights
+    from yolo_quantization_tpu.nn.graph import ForwardMode, forward, init_params, init_quant_state
+
+    net, _ = load_cfg(CFG)
+    params = init_params(jax.random.PRNGKey(seed), net)
+
+    img = load_image_rgb(image_path)
+    sized = letterbox(img, net.width, net.height)
+    x = np.asarray(sized, np.float32)[None]
+    qs = init_quant_state(net)
+    _, aux = forward(
+        net, params, x, ForwardMode(train=False, qat=True, update_ranges=True), qs
+    )
+    qs = jax.tree.map(lambda v: np.asarray(v), aux["quant_state"])
+
+    wpath = os.path.join(outdir, "parity.weights")
+    params_np = {
+        i: {k: np.asarray(v) for k, v in p.items()} for i, p in params.items()
+    }
+    save_darknet_weights(wpath, net, params_np, qs)
+    return net, params_np, qs, wpath, x[0]
+
+
+def read_shim_dumps(dumpdir: str):
+    meta = []
+    with open(os.path.join(dumpdir, "meta.txt")) as f:
+        for line in f:
+            p = line.split()
+            meta.append(
+                dict(
+                    idx=int(p[0]), type=int(p[1]), out_w=int(p[2]), out_h=int(p[3]),
+                    out_c=int(p[4]), outputs=int(p[5]), quant=int(p[6]),
+                    qstop=int(p[7]), act_scale=float(p[8]), act_zp=int(p[9]),
+                    in_scale=float(p[10]), in_zp=int(p[11]),
+                )
+            )
+    sized = np.fromfile(os.path.join(dumpdir, "sized.bin"), np.float32)
+    input_u8 = np.fromfile(os.path.join(dumpdir, "input_u8.bin"), np.uint8)
+    layers_u8, layers_f32 = {}, {}
+    for m in meta:
+        pu8 = os.path.join(dumpdir, f"layer{m['idx']:02d}_u8.bin")
+        pf32 = os.path.join(dumpdir, f"layer{m['idx']:02d}_f32.bin")
+        if os.path.exists(pu8):
+            layers_u8[m["idx"]] = np.fromfile(pu8, np.uint8)
+        if os.path.exists(pf32):
+            layers_f32[m["idx"]] = np.fromfile(pf32, np.float32)
+    dets = []
+    with open(os.path.join(dumpdir, "detections.txt")) as f:
+        for line in f:
+            dets.append([float(v) for v in line.split()])
+    dets = np.asarray(dets, np.float32) if dets else np.zeros((0, 10), np.float32)
+    return meta, sized, input_u8, layers_u8, layers_f32, dets
+
+
+def do_nms_obj(dets: np.ndarray, thresh: float) -> np.ndarray:
+    """Objectness NMS, exact protocol of src/box.c:21-55 (sort by objectness,
+    suppress by zeroing objectness+probs). dets rows: [x,y,w,h,obj,probs...]."""
+    d = dets.copy()
+    order = np.argsort(-d[:, 4], kind="stable")
+    d = d[order]
+    for i in range(len(d)):
+        if d[i, 4] == 0:
+            continue
+        for j in range(i + 1, len(d)):
+            if _box_iou(d[i, :4], d[j, :4]) > thresh:
+                d[j, 4] = 0
+                d[j, 5:] = 0
+    return d
+
+
+def _box_iou(a, b) -> float:
+    def overlap(x1, w1, x2, w2):
+        l1, l2 = x1 - w1 / 2, x2 - w2 / 2
+        r1, r2 = x1 + w1 / 2, x2 + w2 / 2
+        return min(r1, r2) - max(l1, l2)
+
+    w = overlap(a[0], a[2], b[0], b[2])
+    h = overlap(a[1], a[3], b[1], b[3])
+    if w <= 0 or h <= 0:
+        return 0.0
+    inter = w * h
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def f1_counts(dets: np.ndarray, truths: np.ndarray, thre: float, iou_thresh: float = 0.1):
+    """detector f1 counting protocol (examples/detector.c:830-854): TP_FP is
+    ALL post-NMS boxes (including objectness-zeroed), TP is truths whose best
+    IoU among boxes with objectness > thre exceeds iou_thresh."""
+    tp_fp = len(dets)
+    tp_fn = len(truths)
+    tp = 0
+    for t in truths:
+        best = 0.0
+        for d in dets:
+            if d[4] > thre:
+                best = max(best, _box_iou(d[:4], t))
+        if best > iou_thresh:
+            tp += 1
+    return tp, tp_fp, tp_fn
+
+
+def run_twin(net, wpath, sized_chw, thresh):
+    from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
+    from yolo_quantization_tpu.parity.ctwin import CTwin, yolo_detections_c
+
+    ckpt = load_darknet_weights(wpath, net)
+    twin = CTwin(net, ckpt)
+    res = twin.forward(sized_chw, thresh=thresh)
+    yolo_outs = [tl.f32 for tl, s in zip(res.layers, net.specs)
+                 if type(s).__name__ == "YoloSpec"]
+    # image dims for correct_yolo_boxes: shim passes the ORIGINAL image size
+    return ckpt, res, yolo_outs
+
+
+def run_engine(net, ckpt, sized_chw, in_scale, in_zp):
+    """TPU engine with C-matching route semantics; returns per-layer outputs
+    (NHWC) and raw head tensors."""
+    import jax
+
+    from yolo_quantization_tpu.infer.convert import convert
+    from yolo_quantization_tpu.infer.engine import build_forward
+    from yolo_quantization_tpu.models.darknet_weights import _range_from_scale_zp
+
+    qs = {k: dict(v) for k, v in ckpt.quant_state.items()}
+    lo, hi = _range_from_scale_zp(float(in_scale), int(in_zp))
+    qs["input"] = {"min": np.float32(lo), "max": np.float32(hi)}
+    program = convert(net, ckpt.params, qs, route_rescale=False)
+    # exact dynamic input qp (convert re-nudges the range; force the C values)
+    program.in_scale, program.in_zp = float(in_scale), int(in_zp)
+    fwd = jax.jit(build_forward(program, return_outputs=True))
+    x = np.ascontiguousarray(sized_chw.transpose(1, 2, 0))[None]
+    heads, outputs = fwd(program.arrays, x)
+    return (
+        program,
+        [np.asarray(o) for o in outputs],
+        [np.asarray(h) for h in heads],
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", default=os.path.join(REF, "test_image", "000044.jpg"))
+    ap.add_argument("--thresh", type=float, default=0.25)
+    ap.add_argument("--nms", type=float, default=0.45)
+    ap.add_argument("--out", default=os.path.join(REPO, "build", "parity"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    shim = build_reference()
+    if shim is None:
+        print(json.dumps({"parity": "skipped", "reason": "no C toolchain"}))
+        return 0
+
+    net, params, qs, wpath, sized_hwc = export_checkpoint(args.out, args.image)
+    dumpdir = os.path.join(args.out, "dumps")
+    os.makedirs(dumpdir, exist_ok=True)
+    subprocess.run(
+        [shim, CFG, wpath, args.image, dumpdir, str(args.thresh), "none"],
+        check=True, capture_output=True, text=True,
+    )
+    meta, sized_ref, input_u8_ref, u8_ref, f32_ref, dets_ref = read_shim_dumps(dumpdir)
+
+    report: dict = {"layers": len(meta)}
+
+    # --- letterbox agreement (ours vs the reference's, diagnostics)
+    ours_chw = np.ascontiguousarray(sized_hwc.transpose(2, 0, 1)).ravel()
+    report["letterbox_max_diff"] = float(np.abs(ours_chw - sized_ref).max())
+
+    # twin + engine consume the REFERENCE's letterboxed input so the layer
+    # comparison isolates engine arithmetic from image-resize differences
+    sized_chw = sized_ref.reshape(net.channels, net.height, net.width)
+
+    # --- TIER 1: bit-exact C twin
+    ckpt, twin_res, twin_yolo = run_twin(net, wpath, sized_chw, args.thresh)
+    exact = {"input_u8": bool((twin_res.input_u8.ravel() == input_u8_ref).all())}
+    mism = {}
+    for i, tl in enumerate(twin_res.layers):
+        if i in u8_ref and tl.u8 is not None:
+            diff = int((tl.u8.ravel() != u8_ref[i]).sum())
+            mism[i] = diff
+        if i in f32_ref and tl.f32 is not None:
+            key = f"f32_{i}"
+            mism[key] = float(np.abs(tl.f32.ravel() - f32_ref[i]).max())
+    exact["u8_mismatches"] = {k: v for k, v in mism.items() if isinstance(k, int) and v}
+    exact["u8_layers_checked"] = len([k for k in mism if isinstance(k, int)])
+    exact["f32_max_abs"] = max(
+        [v for k, v in mism.items() if isinstance(k, str)], default=0.0
+    )
+    # twin detections vs shim detections
+    from yolo_quantization_tpu.parity.ctwin import yolo_detections_c
+    from PIL import Image
+
+    with Image.open(args.image) as im:
+        im_w, im_h = im.size
+    dets_twin = yolo_detections_c(net, twin_yolo, im_w, im_h, args.thresh)
+    exact["det_count_match"] = len(dets_twin) == len(dets_ref)
+    if exact["det_count_match"] and len(dets_twin):
+        exact["det_max_abs"] = float(np.abs(dets_twin - dets_ref).max())
+    tier1_ok = (
+        exact["input_u8"]
+        and not exact["u8_mismatches"]
+        and exact["f32_max_abs"] == 0.0
+        and exact["det_count_match"]
+        and exact.get("det_max_abs", 0.0) < 1e-4
+    )
+    report["tier1_bit_exact"] = exact
+    report["tier1_ok"] = tier1_ok
+
+    # --- TIER 2: the TPU integer engine (rounding epilogue, tolerance-based)
+    program, eng_out, eng_heads = run_engine(
+        net, ckpt, sized_chw, twin_res.in_scale, twin_res.in_zp
+    )
+    lsb = {}
+    for i, y in enumerate(eng_out):
+        if i in u8_ref and y.dtype == np.uint8:
+            y_chw = y[0].transpose(2, 0, 1).ravel().astype(np.int32)
+            d = np.abs(y_chw - u8_ref[i].astype(np.int32))
+            # |diff| > 128: the C binary WRAPPED mod 256 (uint8 narrowing
+            # before its no-op clamp, convolutional_layer.c:744-749) where the
+            # engine saturates — a documented correctness deviation, tallied
+            # separately from rounding drift
+            wrap = d > 128
+            dd = d[~wrap]
+            lsb[i] = {
+                "max": int(dd.max()) if dd.size else 0,
+                "frac_gt1": float((dd > 1).mean()) if dd.size else 0.0,
+                "wraps": int(wrap.sum()),
+            }
+    report["tier2_engine_lsb"] = lsb
+
+    # engine detections through the SAME decode code as the twin
+    heads_cf = []
+    yolo_specs = [s for s in net.specs if type(s).__name__ == "YoloSpec"]
+    from yolo_quantization_tpu.parity.ctwin import CTwin as _CT
+    for h, spec in zip(eng_heads, yolo_specs):
+        na = len(spec.mask)
+        chw = h[0].transpose(2, 0, 1)  # (C,H,W), C = na*(5+classes)
+        hh, ww = chw.shape[1:]
+        flat = chw.reshape(-1)
+        y = _CT.__new__(_CT)._yolo(spec, flat, hh, ww)
+        heads_cf.append(y)
+    dets_eng = yolo_detections_c(net, heads_cf, im_w, im_h, args.thresh)
+
+    # identical NMS + f1 counting, applied to all three detection sets:
+    # shim (compiled C), twin (our C-exact backend — counts must be
+    # IDENTICAL), engine (TPU rounding epilogue — recall counts must be
+    # identical; the raw proposal count may jitter with LSB drift near thresh)
+    truths = np.asarray(
+        [[0.5, 0.5, 0.4, 0.4], [0.25, 0.3, 0.2, 0.25]], np.float32
+    )  # synthetic labels; the counts must MATCH, not be meaningful
+    nref = do_nms_obj(dets_ref[:, [0, 1, 2, 3, 4]], args.nms)
+    ntwn = do_nms_obj(dets_twin[:, [0, 1, 2, 3, 4]], args.nms)
+    neng = do_nms_obj(dets_eng[:, [0, 1, 2, 3, 4]], args.nms)
+    c_ref = f1_counts(nref, truths, args.thresh)
+    c_twn = f1_counts(ntwn, truths, args.thresh)
+    c_eng = f1_counts(neng, truths, args.thresh)
+    report["tier2_f1_counts"] = {"reference": c_ref, "twin": c_twn, "engine": c_eng}
+    report["tier2_det_counts"] = {
+        "reference": len(dets_ref), "twin": len(dets_twin), "engine": len(dets_eng)
+    }
+    tp_fp_rel = abs(c_eng[1] - c_ref[1]) / max(c_ref[1], 1)
+    tier2_ok = (
+        c_ref == c_twn                      # C-exact backend: identical counts
+        and c_eng[0] == c_ref[0]            # TP identical
+        and c_eng[2] == c_ref[2]            # TP_FN identical
+        and tp_fp_rel < 0.05                # proposals within 5% LSB jitter
+    )
+    report["tier2_ok"] = tier2_ok
+
+    report["ok"] = bool(tier1_ok and tier2_ok)
+    print(json.dumps(report, default=str))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

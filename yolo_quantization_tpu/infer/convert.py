@@ -95,7 +95,8 @@ class IntProgram:
 
 
 def convert(
-    net: NetworkDef, params, quant_state, *, symmetric_weights: bool = True
+    net: NetworkDef, params, quant_state, *, symmetric_weights: bool = True,
+    route_rescale: bool = True,
 ) -> IntProgram:
     """Build the integer program from float params + learned ranges.
 
@@ -109,6 +110,12 @@ def convert(
     ``symmetric_weights=False`` reproduces the reference's fully-asymmetric
     weight quantization (src/blas.c:108-168) for byte-parity with darknet
     checkpoint files.
+
+    ``route_rescale=False`` reproduces the reference's raw-byte concat
+    (src/route_layer.c:107-130): branches of a multi-input route are copied
+    as codes without regridding onto the learned common scale.  Numerically
+    wrong across mismatched branch scales (SURVEY §"hard parts") but needed
+    for C-parity comparisons; the default requantizes correctly.
     """
     params = {k: {n: np.asarray(v) for n, v in p.items()} for k, p in params.items()}
     qs = {k: {n: float(v) for n, v in st.items()} for k, st in quant_state.items()}
@@ -250,7 +257,10 @@ def convert(
                 branches = []
                 for (sb, zb) in srcs:
                     ratio = sb / so
-                    identity = abs(ratio - 1.0) < 1e-9 and zb == zo
+                    identity = (
+                        not route_rescale
+                        or (abs(ratio - 1.0) < 1e-9 and zb == zo)
+                    )
                     branches.append((identity, float(ratio), int(zb)))
                 cfg.append(
                     QuantizedLayerCfg(

@@ -43,8 +43,12 @@ def _requant_u8(x_u8: jax.Array, ratio: float, zp_in: int, zp_out: int) -> jax.A
 
 
 def build_forward(program: IntProgram, use_pallas: bool = False,
-                  pallas_interpret: bool = False):
+                  pallas_interpret: bool = False, return_outputs: bool = False):
     """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
+
+    ``return_outputs=True`` makes the fn return (heads, per_layer_outputs) —
+    every layer's tensor in order — for debugging and the cross-binary parity
+    harness (scripts/parity_c.py).
 
     The layer loop is unrolled at trace time (specs are static); XLA fuses
     each conv with its epilogue and the surrounding u8 plumbing.
@@ -221,6 +225,8 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 raise ValueError(c.kind)
             outputs.append(y)
             x = y
+        if return_outputs:
+            return heads, outputs
         return heads
 
     return forward

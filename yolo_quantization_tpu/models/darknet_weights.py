@@ -200,6 +200,7 @@ def load_darknet_weights(
             if quantized and s.quantized and len(s.layers) > 1:
                 scale, = r.f32(1)
                 zp, = r.u8(1)
+                raw[i] = {"activ_scale": np.float32(scale), "activ_zp": np.uint8(zp)}
                 lo, hi = _range_from_scale_zp(float(scale), int(zp))
                 qs[f"act_{i}"] = {"min": np.float32(lo), "max": np.float32(hi)}
         elif isinstance(s, UpsampleSpec):
