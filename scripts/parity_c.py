@@ -276,8 +276,10 @@ def main() -> int:
     )
     lsb = {}
     for i, y in enumerate(eng_out):
-        if i in u8_ref and y.dtype == np.uint8:
+        if i in u8_ref and y.dtype in (np.uint8, np.int8):
             y_chw = y[0].transpose(2, 0, 1).ravel().astype(np.int32)
+            if y.dtype == np.int8:
+                y_chw += 128  # engine's shifted representation -> uint8 codes
             d = np.abs(y_chw - u8_ref[i].astype(np.int32))
             # |diff| > 128: the C binary WRAPPED mod 256 (uint8 narrowing
             # before its no-op clamp, convolutional_layer.c:744-749) where the

@@ -50,6 +50,38 @@ from yolo_quantization_tpu.ops.qconv import ACTIVATION_BY_NAME, fold_static_bias
 BN_EPS = 1e-6  # matches nn/layers.py and reference src/blas.c:576
 
 
+def _s2d_weights(w_i8: np.ndarray) -> np.ndarray:
+    """Space-to-depth rewrite of a 3x3/stride-1/pad-1 conv kernel.
+
+    A 2x2 space-to-depth moves pixel phases into channels: x(H,W,C) becomes
+    xs(H/2,W/2,4C) with slot (qy,qx,c).  The original conv's output at
+    (2i+py, 2j+px, o) is then a 3x3 conv over BLOCKS: each original tap u has
+    exactly one (block offset A, input phase qy) with 2A+qy = py+u, so the
+    block kernel (3,3,4C,4O) holds the original taps scattered by phase with
+    structural zeros elsewhere.  Integer math is identical tap-for-tap — the
+    engine uses this to lift 3/16/32-channel stem convs onto full MXU lanes
+    (measured 69% of device time went to those layers, see docs/perf.md).
+
+    Output slot layout: (py,px,o) -> (py*2+px)*O + o; the following 2x2/s2
+    maxpool is an elementwise max over the 4 phase groups.
+    """
+    kh, kw, c, o = w_i8.shape
+    assert (kh, kw) == (3, 3)
+    w2 = np.zeros((3, 3, 4 * c, 4 * o), np.int8)
+    for py in (0, 1):
+        for px in (0, 1):
+            for u in (-1, 0, 1):
+                qy, ay = (py + u) % 2, (py + u) // 2
+                for v in (-1, 0, 1):
+                    qx, ax = (px + v) % 2, (px + v) // 2
+                    w2[
+                        ay + 1, ax + 1,
+                        (qy * 2 + qx) * c : (qy * 2 + qx + 1) * c,
+                        (py * 2 + px) * o : (py * 2 + px + 1) * o,
+                    ] = w_i8[u + 1, v + 1]
+    return w2
+
+
 def _nudge_np(lo: float, hi: float) -> tuple[float, int]:
     """Scalar numpy twin of core.quant.nudge_min_max (reference src/blas.c:68-89)."""
     lo, hi = min(lo, 0.0), max(hi, 0.0)
@@ -71,6 +103,11 @@ class QuantizedLayerCfg:
     act: int = 0
     quant_stop: bool = False
     symmetric_w: bool = False  # all weight zero-points == 128 (0 shifted)
+    # space-to-depth conv+pool rewrite available (arrays carry w_s2d etc.):
+    # the engine may run this conv+following-pool as phase-space conv + phase
+    # max (see _s2d_weights) — bit-identical, ~4x the MXU lane utilization on
+    # small-channel stems
+    s2d_pool: bool = False
     # route extras: per-branch (identity, ratio, zp_in) — ratio = s_in/s_out
     branches: tuple = ()
     # shortcut extras
@@ -122,6 +159,13 @@ def convert(
 
     in_scale, in_zp = _nudge_np(qs["input"]["min"], qs["input"]["max"])
     domains = net.output_domains()
+    shapes = net.shapes()
+    referenced = set()  # layer outputs consumed by non-sequential consumers
+    for s in net.specs:
+        if isinstance(s, RouteSpec):
+            referenced.update(s.layers)
+        elif isinstance(s, ShortcutSpec):
+            referenced.add(s.index)
     out_qp: list[tuple[float, int] | None] = []  # (scale, zp) of u8 outputs
     cfg: list[QuantizedLayerCfg] = []
     arrays: dict[int, dict[str, np.ndarray]] = {}
@@ -222,6 +266,26 @@ def convert(
                 "w_scale": s_w.astype(np.float32),
                 "w_zp_u8": zp_w.astype(np.uint8),
             }
+            # space-to-depth conv+pool rewrite for small-channel stems
+            in_ch = shapes[i - 1][2] if i > 0 else net.channels
+            oh, ow, _ = shapes[i]
+            nxt = net.specs[i + 1] if i + 1 < len(net.specs) else None
+            if (
+                symmetric_weights
+                and not s.quant_stop
+                and s.size == 3 and s.stride == 1 and s.pad == 1
+                and in_ch <= 32
+                and oh % 2 == 0 and ow % 2 == 0
+                and isinstance(nxt, MaxPoolSpec)
+                and nxt.size == 2 and nxt.stride == 2 and nxt.padding == 1
+                and i not in referenced and (i + 1) not in referenced
+            ):
+                arrays[i]["w_s2d"] = _s2d_weights(w_i8)
+                arrays[i]["bias_s2d"] = np.tile(bias_i32, 4)
+                arrays[i]["m_s2d"] = np.tile(m.astype(np.float32), 4)
+                s2d = True
+            else:
+                s2d = False
             cfg.append(
                 QuantizedLayerCfg(
                     kind="qconv",
@@ -232,6 +296,7 @@ def convert(
                     quant_stop=s.quant_stop,
                     symmetric_w=symmetric_weights,
                     in_scales=(qin,),
+                    s2d_pool=s2d,
                 )
             )
             cur_qp = None if s.quant_stop else (so, zo)

@@ -152,12 +152,22 @@ def parse_cfg(text: str, base_dir: str | None = None) -> tuple[NetworkDef, Train
             )
         elif name == "upsample":
             specs.append(
-                UpsampleSpec(stride=int(opts.get("stride", 2)), quantized=flag("quantized"))
+                UpsampleSpec(
+                    stride=int(opts.get("stride", 2)),
+                    quantized=flag("quantized"),
+                    first_time=flag("first_time"),
+                )
             )
         elif name == "route":
             rel = _ints(opts["layers"])
             absolute = tuple(r if r >= 0 else i + r for r in rel)
-            specs.append(RouteSpec(layers=absolute, quantized=flag("quantized")))
+            specs.append(
+                RouteSpec(
+                    layers=absolute,
+                    quantized=flag("quantized"),
+                    first_time=flag("first_time"),
+                )
+            )
         elif name == "shortcut":
             frm = int(opts["from"])
             specs.append(

@@ -197,14 +197,16 @@ def load_darknet_weights(
                 zp, = r.u8(1)
                 raw[i] = {"activ_scale": np.float32(scale), "activ_zp": np.uint8(zp)}
         elif isinstance(s, RouteSpec):
-            if quantized and s.quantized and len(s.layers) > 1:
+            # first_time=1: fine-tuning a pre-quant checkpoint — no quant
+            # block in the file; range inherited (src/parser.c:1176-1183)
+            if quantized and s.quantized and len(s.layers) > 1 and not s.first_time:
                 scale, = r.f32(1)
                 zp, = r.u8(1)
                 raw[i] = {"activ_scale": np.float32(scale), "activ_zp": np.uint8(zp)}
                 lo, hi = _range_from_scale_zp(float(scale), int(zp))
                 qs[f"act_{i}"] = {"min": np.float32(lo), "max": np.float32(hi)}
         elif isinstance(s, UpsampleSpec):
-            if quantized and s.quantized:
+            if quantized and s.quantized and not s.first_time:
                 scale, = r.f32(1)
                 zp, = r.u8(1)
                 raw[i] = {"activ_scale": np.float32(scale), "activ_zp": np.uint8(zp)}
@@ -252,10 +254,10 @@ def _layout_size(net: NetworkDef, quantized: bool) -> int:
             if quantized:
                 total += 5
         elif isinstance(s, RouteSpec):
-            if quantized and s.quantized and len(s.layers) > 1:
+            if quantized and s.quantized and len(s.layers) > 1 and not s.first_time:
                 total += 5
         elif isinstance(s, UpsampleSpec):
-            if quantized and s.quantized:
+            if quantized and s.quantized and not s.first_time:
                 total += 5
         in_h, in_w, in_c = shapes[i]
     return total
@@ -334,11 +336,19 @@ def save_darknet_weights(
             out += np.asarray(p["mean"], np.float32).tobytes()
             out += np.asarray(p["var"], np.float32).tobytes()
         elif isinstance(s, (MaxPoolSpec, UpsampleSpec)):
-            if program is not None and (not isinstance(s, UpsampleSpec) or s.quantized):
+            # unlike the reference's save (which ignores first_time and can
+            # write files its own loader then misreads), writer and reader
+            # here agree: first_time layers have no quant block either way
+            if program is not None and (
+                not isinstance(s, UpsampleSpec) or (s.quantized and not s.first_time)
+            ):
                 c = program.cfg[i]
                 out += struct.pack("<f", c.out_scale) + struct.pack("<B", c.out_zp)
         elif isinstance(s, RouteSpec):
-            if program is not None and s.quantized and len(s.layers) > 1:
+            if (
+                program is not None and s.quantized and len(s.layers) > 1
+                and not s.first_time
+            ):
                 c = program.cfg[i]
                 out += struct.pack("<f", c.out_scale) + struct.pack("<B", c.out_zp)
         if program is not None:

@@ -67,12 +67,17 @@ class MaxPoolSpec:
 class RouteSpec:
     layers: tuple[int, ...]  # absolute layer indices (cfg importer normalizes)
     quantized: bool = True
+    # cfg `first_time=1`: fine-tuning a pre-quantization checkpoint — the
+    # weights file has no quant block for this layer; inherit the range from
+    # the first input instead (reference src/parser.c:1176-1183)
+    first_time: bool = False
 
 
 @dataclass(frozen=True)
 class UpsampleSpec:
     stride: int = 2
     quantized: bool = True
+    first_time: bool = False  # like RouteSpec (reference src/parser.c:1187-1191)
 
 
 @dataclass(frozen=True)
@@ -398,7 +403,9 @@ def init_params_numpy(seed: int, net: NetworkDef) -> dict[int, dict[str, Any]]:
     return params
 
 
-def init_quant_state(net: NetworkDef) -> dict[str, dict[str, jax.Array]]:
+def init_quant_state(
+    net: NetworkDef, input_calibration: tuple[float, ...] = ()
+) -> dict[str, dict[str, jax.Array]]:
     """EMA range state for QAT: one (min, max) pair per tracked activation.
 
     Tracked: the network input ("input"), every quantized conv output, and
@@ -408,11 +415,22 @@ def init_quant_state(net: NetworkDef) -> dict[str, dict[str, jax.Array]]:
     integer inference, src/maxpool_layer_kernels.cu:98-108) we do not track
     ranges for them — their scale is inherited, which the integer engine makes
     exact.  Zeros mean "unseen"; ema_update adopts the first batch stats.
+
+    ``input_calibration`` (cfg `[net] input_calibration=`, reference
+    src/parser.c:593-608 — which the reference parses and then never reads)
+    seeds the input range instead of first-batch adoption: one value v means
+    [0, v]; two values mean [min, max].  The EMA refines it from there.
     """
     import numpy as np
 
+    if len(input_calibration) >= 2:
+        in_lo, in_hi = float(input_calibration[0]), float(input_calibration[1])
+    elif len(input_calibration) == 1:
+        in_lo, in_hi = 0.0, float(input_calibration[0])
+    else:
+        in_lo = in_hi = 0.0
     qs: dict[str, dict[str, jax.Array]] = {
-        "input": {"min": np.float32(0.0), "max": np.float32(0.0)}
+        "input": {"min": np.float32(min(in_lo, 0.0)), "max": np.float32(max(in_hi, 0.0))}
     }
     domains = net.output_domains()
     for i, s in enumerate(net.specs):

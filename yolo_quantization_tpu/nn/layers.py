@@ -141,15 +141,18 @@ def maxpool(x: jax.Array, size: int, stride: int, pad: int) -> jax.Array:
 
 
 def maxpool_u8(x_u8: jax.Array, size: int, stride: int, pad: int) -> jax.Array:
-    """uint8 maxpool — max is scale-invariant so it runs directly on codes.
+    """Quantized maxpool — max is scale-invariant so it runs directly on codes.
 
     Pads with code 0, matching the reference quant pool's effective padding
     (src/maxpool_layer.c:109-147: invalid taps contribute 0 to a uint8 max).
+    Also accepts the engine's shifted int8 representation (code - 128), where
+    code 0 is -128 — the identical domain minimum.
     """
+    init = jnp.int8(-128) if x_u8.dtype == jnp.int8 else jnp.uint8(0)
     _, lo, hi = maxpool_padding(x_u8.shape[1], size, stride, pad)
     return lax.reduce_window(
         x_u8,
-        jnp.uint8(0),
+        init,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

@@ -94,6 +94,7 @@ def _qconv_kernel(
     act: int,
     out_zp: int,
     pool: bool = False,
+    out_i8: bool = False,
 ):
     nn = pl.program_id(0)  # image index (ANY-space input is the whole array)
     i = pl.program_id(1)   # row-tile index
@@ -151,8 +152,11 @@ def _qconv_kernel(
         v = jnp.where(v < 0, jnp.round(v * 0.1), v)
     elif act in (ACT_RELU, ACT_RELU6):
         v = jnp.maximum(v, 0.0)
-    # Mosaic has no f32->u8 cast; round-trip through int32 (clip keeps range)
-    v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    # Mosaic has no f32->u8/i8 cast; round-trip through int32 (clip keeps range)
+    if out_i8:  # shifted-code representation (see qconv.requant_activate)
+        v = jnp.clip(v + (out_zp - 128), -128.0, 127.0).astype(jnp.int32).astype(jnp.int8)
+    else:
+        v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
     # flat-rows store, no vector reshape; partial when the block was padded
     # to the 8-sublane boundary
     out_ref[0, :out_rows, :] = v
@@ -161,7 +165,7 @@ def _qconv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "pad", "act", "out_zp_static", "fuse_pool",
-                     "interpret"),
+                     "interpret", "out_i8"),
 )
 def pallas_quantized_conv2d(
     x_u8: jax.Array,
@@ -176,6 +180,7 @@ def pallas_quantized_conv2d(
     out_zp_static: int = 0,
     fuse_pool: bool = False,
     interpret: bool = False,
+    out_i8: bool = False,
 ) -> jax.Array:
     """Fused uint8 conv (symmetric weights, stride 1).  Same math as
     ops.qconv.quantized_conv2d(symmetric=True) — bit-identical up to the f32
@@ -207,7 +212,7 @@ def pallas_quantized_conv2d(
     num_row_tiles = pl.cdiv(h_out, th)
     grid = (n, num_row_tiles, pl.cdiv(co, tco))
 
-    x_i8 = u8_to_i8(x_u8)
+    x_i8 = x_u8 if x_u8.dtype == jnp.int8 else u8_to_i8(x_u8)
     # Pad top/left/right by `pad` with the zero point; pad the BOTTOM far
     # enough that the last (partial) row tile's slab DMA never clamps — a
     # clamped start silently shifts every tap's rows and corrupts the whole
@@ -228,7 +233,7 @@ def pallas_quantized_conv2d(
 
     kernel = functools.partial(
         _qconv_kernel, k=k, th=th, wp=wp, act=act, out_zp=out_zp_static,
-        pool=fuse_pool,
+        pool=fuse_pool, out_i8=out_i8,
     )
     # rows dim stays flat inside the kernel; the 4-D un-flatten below is an
     # XLA reshape (free relayout), not a Mosaic vector shape cast
@@ -239,7 +244,8 @@ def pallas_quantized_conv2d(
     # a multi-tile rows dim must be 8-sublane aligned per block (Pallas block
     # layout rule); pad each tile's rows and strip the padding in XLA after
     orows_p = orows if num_row_tiles == 1 else -(-orows // 8) * 8
-    out_shape = jax.ShapeDtypeStruct((n, num_row_tiles * orows_p, co), jnp.uint8)
+    out_dtype = jnp.int8 if out_i8 else jnp.uint8
+    out_shape = jax.ShapeDtypeStruct((n, num_row_tiles * orows_p, co), out_dtype)
     out_spec = pl.BlockSpec(
         (1, orows_p, tco), lambda nn, ii, jj: (nn, ii, jj),
         memory_space=pltpu.VMEM,

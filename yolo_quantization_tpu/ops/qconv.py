@@ -109,13 +109,14 @@ def conv_acc_int32(
     return acc - w_zp_i32.reshape(1, 1, 1, -1) * patchsum
 
 
-@partial(jax.jit, static_argnames=("act",))
+@partial(jax.jit, static_argnames=("act", "out_i8"))
 def requant_activate(
     acc: jax.Array,
     bias_i32: jax.Array,
     m: jax.Array,
     out_zp: jax.Array,
     act: int,
+    out_i8: bool = False,
 ) -> jax.Array:
     """Fused epilogue: bias add, per-channel rescale, quantized activation, clamp.
 
@@ -124,6 +125,11 @@ def requant_activate(
       leaky: v<0 -> round(0.1*v)           # 0.1-slope in the quantized domain
       relu/relu6: v<=0 -> 0                # upper clamp comes from uint8 saturation
       out = clamp(v + zp_out, 0, 255)
+
+    ``out_i8`` emits the same codes shifted by -128 as int8 — the engine's
+    internal representation, which keeps activations in the MXU-native signed
+    domain between layers and eliminates a per-layer uint8->int8 conversion
+    pass over HBM (measured ~20% of device time at batch 128).
     """
     v = jnp.round((acc + bias_i32.reshape(1, 1, 1, -1)).astype(jnp.float32) * m.reshape(1, 1, 1, -1))
     if act == ACT_LEAKY:
@@ -132,11 +138,14 @@ def requant_activate(
         v = jnp.maximum(v, 0.0)
     elif act != ACT_LINEAR:
         raise ValueError(f"unsupported quantized activation code {act}")
+    if out_i8:
+        out = v + (out_zp.astype(jnp.float32) - 128.0)
+        return jnp.clip(out, -128.0, 127.0).astype(jnp.int32).astype(jnp.int8)
     out = v + out_zp.astype(jnp.float32)
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric"))
+@partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric", "out_i8"))
 def quantized_conv2d(
     x_u8: jax.Array,
     w_i8: jax.Array,
@@ -150,6 +159,7 @@ def quantized_conv2d(
     pad: int = 0,
     act: int = ACT_LINEAR,
     symmetric: bool = False,
+    out_i8: bool = False,
 ) -> jax.Array:
     """Full integer conv layer: uint8 in -> uint8 out.
 
@@ -158,11 +168,16 @@ def quantized_conv2d(
     ``m`` the per-channel requant multiplier S1*S2/S3 as float32.
     ``symmetric`` statically elides the weight zero-point correction conv
     (see infer/convert.py symmetric_weights).
+
+    The input may already be in the shifted int8 representation (codes - 128),
+    in which case the uint8->int8 conversion is skipped; ``out_i8`` emits the
+    output in that representation too (see requant_activate).
     """
+    x_i8 = x_u8 if x_u8.dtype == jnp.int8 else u8_to_i8(x_u8)
     acc = conv_acc_int32(
-        u8_to_i8(x_u8), w_i8, x_zp_i32, w_zp_i32, stride, pad, symmetric
+        x_i8, w_i8, x_zp_i32, w_zp_i32, stride, pad, symmetric
     )
-    return requant_activate(acc, bias_i32, m, out_zp, act)
+    return requant_activate(acc, bias_i32, m, out_zp, act, out_i8=out_i8)
 
 
 def fold_static_bias(bias_f, s_in, s_w, x_zp_i32, w_zp_i32, w_i8):

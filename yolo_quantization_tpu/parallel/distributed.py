@@ -32,10 +32,18 @@ def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    initialization_timeout: int = 300,
 ) -> None:
     """jax.distributed.initialize with env-var fallbacks (no-op if already up
-    or single-process)."""
-    if jax.process_count() > 1:
+    or single-process).
+
+    Must run before anything touches the XLA backend — so the already-up
+    check reads the distributed client state, NOT jax.process_count()
+    (which would itself initialize the backend).
+    """
+    from jax._src.distributed import global_state
+
+    if global_state.client is not None:  # already initialized
         return
     kwargs = {}
     if coordinator_address:
@@ -43,11 +51,17 @@ def initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=initialization_timeout,
         )
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+        if coordinator_address:
+            # the caller explicitly asked for a multi-process cluster; a
+            # silent fallback to single-host would corrupt training (each
+            # process would average only its own gradients) — fail loudly
+            raise
+        # implicit single-process use (no coordinator configured): fine
 
 
 def global_mesh(n_model: int = 1):

@@ -194,7 +194,9 @@ def init_train_state(net: NetworkDef, cfg: TrainConfig, key) -> TrainState:
     return TrainState(
         params=params,
         opt_state=tx.init(params),
-        quant_state=init_quant_state(net),
+        quant_state=init_quant_state(
+            net, input_calibration=getattr(cfg, "input_calibration", ())
+        ),
         step=jnp.int32(0),
     )
 
