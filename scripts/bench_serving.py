@@ -1,0 +1,108 @@
+"""Serving SLO benchmark: p50/p99 latency vs offered load (VERDICT r1 item 9).
+
+Drives infer/serving.Server with a Poisson open-loop arrival process at
+increasing offered rates, measuring end-to-end request latency (submit ->
+future resolved, includes letterbox, batching delay, device run, NMS) and
+batch-bucket fill rates.  Prints one JSON line per load point plus a summary
+table for docs/perf.md.
+
+Run on TPU:  python scripts/bench_serving.py [--rates 50,200,1000,4000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_load(server, images, rate_hz: float, duration_s: float):
+    """Open-loop Poisson arrivals at rate_hz for duration_s; returns latencies."""
+    rng = np.random.default_rng(0)
+    lat: list[float] = []
+    futures = []
+    t_end = time.monotonic() + duration_s
+    next_t = time.monotonic()
+    i = 0
+    while time.monotonic() < t_end:
+        now = time.monotonic()
+        if now < next_t:
+            time.sleep(min(next_t - now, 0.001))
+            continue
+        t0 = time.monotonic()
+        fut = server.submit(images[i % len(images)], thresh=0.25)
+        futures.append((t0, fut))
+        i += 1
+        next_t += rng.exponential(1.0 / rate_hz)
+    for t0, fut in futures:
+        fut.result(timeout=600)
+        # latency recorded at resolve observation; the future carries no
+        # timestamp, so sample completion time per-future sequentially —
+        # resolved futures return immediately, pending ones measure true wait
+        lat.append(time.monotonic() - t0)
+    return np.asarray(lat), i
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rates", default="50,200,800,3000")
+    ap.add_argument("--duration", type=float, default=8.0)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--size", type=int, default=416)
+    args = ap.parse_args()
+
+    from yolo_quantization_tpu.infer.engine import Engine
+    from yolo_quantization_tpu.infer.serving import Server
+    from yolo_quantization_tpu.models.presets import flagship_program
+
+    program = flagship_program()
+    engine = Engine(program, max_det=64)
+    rng = np.random.default_rng(1)
+    # a few distinct input sizes exercise per-request letterboxing
+    images = [
+        rng.uniform(0, 1, (480, 640, 3)).astype(np.float32),
+        rng.uniform(0, 1, (720, 960, 3)).astype(np.float32),
+        rng.uniform(0, 1, (416, 416, 3)).astype(np.float32),
+    ]
+
+    rows = []
+    for rate in [float(r) for r in args.rates.split(",")]:
+        server = Server(engine, batch_size=args.batch_size, max_delay_ms=5.0)
+        # warm the compiled bucket
+        server.submit(images[0]).result(timeout=600)
+        lat, n = run_load(server, images, rate, args.duration)
+        stats = dict(server.stats)
+        server.close()
+        row = {
+            "offered_rate_hz": rate,
+            "completed": int(n),
+            "achieved_rate_hz": round(n / args.duration, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+            "p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+            "batches": stats["batches"],
+            "avg_batch_fill": round(
+                stats["batch_fill_sum"] / max(stats["batches"], 1), 3
+            ),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| offered req/s | achieved | p50 ms | p90 ms | p99 ms | batch fill |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['offered_rate_hz']:.0f} | {r['achieved_rate_hz']} | "
+            f"{r['p50_ms']} | {r['p90_ms']} | {r['p99_ms']} | {r['avg_batch_fill']} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,147 @@
+"""CI accuracy gate: QAT -> integer conversion preserves detection F1
+(VERDICT r1 item 5 — the BASELINE.md contract shape, on synthetic data).
+
+A 3-class task with two boxes per image — one large (matched by the coarse
+yolo head) and one small (matched by the fine head through the
+route+upsample path) — trains float -> QAT, converts, and asserts:
+
+  1. the task is actually learned (float F1 clears a floor), and
+  2. the integer engine gives up at most 0.5 F1 vs the float engine
+     (the ±0.5 parity band of BASELINE.md).
+
+Deterministic seeds end-to-end; ~4 min on the 2-vCPU CI box.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+CLASS_COLORS = [(245, 80, 50), (60, 220, 90), (70, 110, 245)]
+
+
+def _make_dataset(root: str, n: int = 24, size: int = 96) -> str:
+    rng = np.random.default_rng(11)
+    os.makedirs(f"{root}/images", exist_ok=True)
+    os.makedirs(f"{root}/labels", exist_ok=True)
+    paths = []
+    for i in range(n):
+        im = (rng.uniform(0, 0.22, (size, size, 3)) * 255).astype(np.uint8)
+        labels = []
+
+        def put_box(w, h, cls):
+            x = rng.uniform(w / 2, 1 - w / 2)
+            y = rng.uniform(h / 2, 1 - h / 2)
+            x0, y0 = int((x - w / 2) * size), int((y - h / 2) * size)
+            x1, y1 = int((x + w / 2) * size), int((y + h / 2) * size)
+            im[y0:y1, x0:x1] = CLASS_COLORS[cls]
+            labels.append(f"{cls} {x:.4f} {y:.4f} {w:.4f} {h:.4f}")
+
+        # one large box (coarse 3x3 head — decisively matched to the 81x82
+        # anchor at 96 px input) and one small box (fine 6x6 head via the
+        # route+upsample path)
+        put_box(rng.uniform(0.68, 0.85), rng.uniform(0.68, 0.85), int(rng.integers(3)))
+        put_box(rng.uniform(0.16, 0.24), rng.uniform(0.16, 0.24), int(rng.integers(3)))
+        p = f"{root}/images/img_{i}.jpg"
+        Image.fromarray(im).save(p, quality=97)
+        with open(f"{root}/labels/img_{i}.txt", "w") as f:
+            f.write("\n".join(labels) + "\n")
+        paths.append(p)
+    list_file = f"{root}/list.txt"
+    with open(list_file, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    return list_file
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    import jax
+
+    from yolo_quantization_tpu.data.loader import BatchLoader
+    from yolo_quantization_tpu.data.voc import AugmentConfig, DetectionDataset
+    from yolo_quantization_tpu.models import zoo
+    from yolo_quantization_tpu.train.qat import TrainConfig, Trainer
+
+    root = str(tmp_path_factory.mktemp("acc"))
+    list_file = _make_dataset(root)
+    steps = 700
+    net = zoo.yolov3_tiny(classes=3, width=96, height=96)
+    # the zoo carries the reference NOK cfg's anchors (405-420 px wide coarse
+    # anchors for that dataset's elongated parts) — square synthetic boxes
+    # can never match them, so use the standard darknet tiny anchor set
+    from dataclasses import replace
+
+    from yolo_quantization_tpu.nn.graph import YoloSpec
+
+    std = ((10, 14), (23, 27), (37, 58), (81, 82), (135, 169), (344, 319))
+    net = replace(net, specs=tuple(
+        replace(s, anchors=std) if isinstance(s, YoloSpec) else s
+        for s in net.specs
+    ))
+    cfg = TrainConfig(
+        learning_rate=1e-3, burn_in=20, quant_start_step=steps // 2,
+        max_batches=steps, batch_size=4,
+    )
+    trainer = Trainer(net, cfg, key=jax.random.PRNGKey(3))
+    ds = DetectionDataset(
+        list_file, 96, 96, augment=True,
+        aug_cfg=AugmentConfig(jitter=0.08, hue=0.02, saturation=1.1, exposure=1.1),
+    )
+    loader = BatchLoader(ds, cfg.batch_size, workers=2)
+    try:
+        for _ in range(steps):
+            images, truths = loader.next()
+            trainer.step(images, truths)
+    finally:
+        loader.close()
+    return net, trainer.state, list_file
+
+
+def test_int_engine_holds_float_f1(trained):
+    from yolo_quantization_tpu.eval.f1 import f1_sweep
+    from yolo_quantization_tpu.infer.convert import convert
+    from yolo_quantization_tpu.infer.engine import Engine
+    from yolo_quantization_tpu.infer.float_engine import FloatEngine
+
+    net, state, list_file = trained
+    float_best = max(
+        f1_sweep(FloatEngine(net, state.params, max_det=64), list_file),
+        key=lambda r: r.f1,
+    )
+    # learnability floor: both heads must be contributing for this to clear
+    assert float_best.f1 >= 60.0, (
+        f"float engine failed to learn the task (F1 {float_best.f1:.1f})"
+    )
+    program = convert(net, state.params, state.quant_state)
+    int_best = max(
+        f1_sweep(Engine(program, max_det=64), list_file), key=lambda r: r.f1
+    )
+    assert int_best.f1 >= float_best.f1 - 0.5, (
+        f"integer engine lost more than 0.5 F1: "
+        f"float {float_best.f1:.2f} vs int {int_best.f1:.2f}"
+    )
+
+
+def test_both_heads_produce_detections(trained):
+    """The fine head (route+upsample path) must carry the small boxes."""
+    import jax.numpy as jnp
+
+    from yolo_quantization_tpu.data.image import letterbox, load_image_rgb
+    from yolo_quantization_tpu.infer.convert import convert
+    from yolo_quantization_tpu.infer.engine import Engine
+
+    net, state, list_file = trained
+    paths = open(list_file).read().split()
+    program = convert(net, state.params, state.quant_state)
+    engine = Engine(program, max_det=64)
+    x = np.stack([
+        letterbox(load_image_rgb(p), 96, 96) for p in paths[:8]
+    ]).astype(np.float32)
+    heads = engine.raw_heads(x)
+    assert len(heads) == 2
+    objs = [1.0 / (1.0 + np.exp(-h.reshape(h.shape[0], h.shape[1], h.shape[2], 3, -1)[..., 4]))
+            for h in heads]
+    # each head fires confidently somewhere in the batch
+    assert objs[0].max() > 0.5, "coarse head never fires"
+    assert objs[1].max() > 0.5, "fine head (route+upsample) never fires"

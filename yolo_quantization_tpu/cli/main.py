@@ -200,7 +200,8 @@ def cmd_detect(args):
         print(f"  wrote {args.out}")
 
 
-def _draw(im, boxes, obj, thresh, out_path):
+def _annotate(im, boxes, obj, thresh):
+    """Draw boxes; returns the annotated frame as float32 RGB [0,1]."""
     import numpy as np
     from PIL import Image, ImageDraw
 
@@ -216,7 +217,15 @@ def _draw(im, boxes, obj, thresh, out_path):
             outline=(255, 60, 40),
             width=3,
         )
-    img.save(out_path)
+    return np.asarray(img).astype(np.float32) / 255.0
+
+
+def _draw(im, boxes, obj, thresh, out_path):
+    import numpy as np
+    from PIL import Image
+
+    out = _annotate(im, boxes, obj, thresh)
+    Image.fromarray((out * 255).astype(np.uint8)).save(out_path)
 
 
 def cmd_f1(args):
@@ -398,9 +407,10 @@ def cmd_weights_tool(args):
 
 
 def cmd_demo(args):
-    """Streaming demo over a directory of frames (the reference's OpenCV
-    video demo analog, src/image_opencv.cpp, without a display): continuous
-    batching via the Server, annotated frames written to --out-dir."""
+    """Streaming demo (the reference's OpenCV video demo, src/image_opencv.cpp,
+    without a display): continuous batching via the Server.  ``--frames`` may
+    be a directory of images (annotated frames written to --out-dir) or a
+    VIDEO FILE (annotated video written to --out-video via OpenCV)."""
     import glob
     import os
 
@@ -412,34 +422,60 @@ def cmd_demo(args):
     net, _ = _load_model(args)
     engine = _engine_from(args, net)
     server = Server(engine, batch_size=args.batch_size, max_delay_ms=10)
-    frames = sorted(
-        f for pat in ("*.jpg", "*.jpeg", "*.png")
-        for f in glob.glob(os.path.join(args.frames, pat))
-    )
-    if not frames:
-        raise SystemExit(f"no frames found in {args.frames}")
-    os.makedirs(args.out_dir, exist_ok=True)
-    t0 = time.time()
-    futures = []
-    images = []
-    for f in frames:
-        im = load_image_rgb(f)
-        images.append(im)
-        futures.append(server.submit(im, thresh=args.thresh))
-    for f, im, fut in zip(frames, images, futures):
-        dets = fut.result(timeout=600)
-        out = os.path.join(args.out_dir, os.path.basename(f))
+
+    def _dets_arrays(dets):
         boxes = np.array([d.box for d in dets]) if dets else np.zeros((0, 4))
         objs = np.array([d.objectness for d in dets]) if dets else np.zeros(0)
-        _draw(im, boxes, objs, 0.0, out)
+        return boxes, objs
+
+    t0 = time.time()
+    if os.path.isfile(args.frames):
+        # video mode: decode -> stream through the server -> encode annotated
+        from yolo_quantization_tpu.data.video import VideoWriter, read_video
+
+        frames_it, fps, size_wh = read_video(args.frames)
+        out_path = args.out_video or os.path.splitext(args.frames)[0] + "_det.mp4"
+        writer = VideoWriter(out_path, fps, size_wh)
+        pending = []  # (frame, future), drained in order to keep encode order
+        n = 0
+        for im in frames_it:
+            pending.append((im, server.submit(im, thresh=args.thresh)))
+            if len(pending) >= 4 * args.batch_size:
+                im0, fut = pending.pop(0)
+                writer.write(_annotate(im0, *_dets_arrays(fut.result(timeout=600)), 0.0))
+                n += 1
+        for im0, fut in pending:
+            writer.write(_annotate(im0, *_dets_arrays(fut.result(timeout=600)), 0.0))
+            n += 1
+        writer.close()
+        where = f"annotated video {out_path}"
+    else:
+        frames = sorted(
+            f for pat in ("*.jpg", "*.jpeg", "*.png")
+            for f in glob.glob(os.path.join(args.frames, pat))
+        )
+        if not frames:
+            raise SystemExit(f"no frames found in {args.frames}")
+        os.makedirs(args.out_dir, exist_ok=True)
+        futures = []
+        images = []
+        for f in frames:
+            im = load_image_rgb(f)
+            images.append(im)
+            futures.append(server.submit(im, thresh=args.thresh))
+        for f, im, fut in zip(frames, images, futures):
+            out = os.path.join(args.out_dir, os.path.basename(f))
+            boxes, objs = _dets_arrays(fut.result(timeout=600))
+            _draw(im, boxes, objs, 0.0, out)
+        n = len(frames)
+        where = f"annotated frames in {args.out_dir}"
     dt = time.time() - t0
     stats = server.stats
     server.close()
     print(
-        f"{len(frames)} frames in {dt:.2f}s ({len(frames) / dt:.1f} fps), "
+        f"{n} frames in {dt:.2f}s ({n / dt:.1f} fps), "
         f"{stats['batches']} batches, avg fill "
-        f"{stats['batch_fill_sum'] / max(stats['batches'], 1):.2f}; "
-        f"annotated frames in {args.out_dir}"
+        f"{stats['batch_fill_sum'] / max(stats['batches'], 1):.2f}; {where}"
     )
 
 
@@ -551,10 +587,17 @@ def build_parser():
     sp.add_argument("--out", help="output path (weights file / png / mkimg dir)")
     sp.set_defaults(fn=cmd_weights_tool)
 
-    sp = sub.add_parser("demo", help="streaming demo over a frames directory")
+    sp = sub.add_parser(
+        "demo", help="streaming demo over a frames directory or a video file"
+    )
     common(sp)
-    sp.add_argument("--frames", required=True, help="directory of jpg/png frames")
+    sp.add_argument(
+        "--frames", required=True,
+        help="directory of jpg/png frames, or a video file (mp4/avi)",
+    )
     sp.add_argument("--out-dir", default="demo_out")
+    sp.add_argument("--out-video", default=None,
+                    help="output path for video mode (default <input>_det.mp4)")
     sp.add_argument("--thresh", type=float, default=0.5)
     sp.add_argument("--batch-size", type=int, default=8)
     sp.set_defaults(fn=cmd_demo)

@@ -150,13 +150,15 @@ def _qconv_kernel(
     )
     if act == ACT_LEAKY:
         v = jnp.where(v < 0, jnp.round(v * 0.1), v)
-    elif act in (ACT_RELU, ACT_RELU6):
-        v = jnp.maximum(v, 0.0)
+    # relu/relu6 fold into the clamp (exact; see qconv.requant_activate)
+    relu_like = act in (ACT_RELU, ACT_RELU6)
     # Mosaic has no f32->u8/i8 cast; round-trip through int32 (clip keeps range)
     if out_i8:  # shifted-code representation (see qconv.requant_activate)
-        v = jnp.clip(v + (out_zp - 128), -128.0, 127.0).astype(jnp.int32).astype(jnp.int8)
+        lo = max(out_zp - 128, -128) if relu_like else -128
+        v = jnp.clip(v + (out_zp - 128), float(lo), 127.0).astype(jnp.int32).astype(jnp.int8)
     else:
-        v = jnp.clip(v + out_zp, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        lo = max(out_zp, 0) if relu_like else 0
+        v = jnp.clip(v + out_zp, float(lo), 255.0).astype(jnp.int32).astype(jnp.uint8)
     # flat-rows store, no vector reshape; partial when the block was padded
     # to the 8-sublane boundary
     out_ref[0, :out_rows, :] = v

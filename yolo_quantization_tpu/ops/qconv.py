@@ -134,15 +134,19 @@ def requant_activate(
     v = jnp.round((acc + bias_i32.reshape(1, 1, 1, -1)).astype(jnp.float32) * m.reshape(1, 1, 1, -1))
     if act == ACT_LEAKY:
         v = jnp.where(v < 0, jnp.round(v * 0.1), v)
-    elif act in (ACT_RELU, ACT_RELU6):
-        v = jnp.maximum(v, 0.0)
-    elif act != ACT_LINEAR:
+    elif act not in (ACT_RELU, ACT_RELU6, ACT_LINEAR):
         raise ValueError(f"unsupported quantized activation code {act}")
+    # relu/relu6 fold into the clamp: max(v,0)+zp clipped == clip(v+zp, zp, hi)
+    # — exact, and two fewer VPU ops on the epilogue (which is the measured
+    # bound on the large early layers, docs/perf.md)
+    relu_like = act in (ACT_RELU, ACT_RELU6)
     if out_i8:
-        out = v + (out_zp.astype(jnp.float32) - 128.0)
-        return jnp.clip(out, -128.0, 127.0).astype(jnp.int32).astype(jnp.int8)
-    out = v + out_zp.astype(jnp.float32)
-    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+        zps = out_zp.astype(jnp.float32) - 128.0
+        lo = jnp.maximum(zps, -128.0) if relu_like else -128.0
+        return jnp.clip(v + zps, lo, 127.0).astype(jnp.int8)
+    zpf = out_zp.astype(jnp.float32)
+    lo = jnp.maximum(zpf, 0.0) if relu_like else 0.0
+    return jnp.clip(v + zpf, lo, 255.0).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric", "out_i8"))
