@@ -76,6 +76,21 @@ def latency_batch1(run, arrays, iters: int = 20) -> float:
     return float(np.percentile(ts, 50))
 
 
+def latency_batch1_device(run, arrays, chain: int = 50) -> float:
+    """On-device batch-1 latency, tunnel-RTT-free: queue `chain` sequential
+    batch-1 executions on the device stream and fetch one scalar — the
+    amortized per-call time is device execution only (the single-call p50
+    above is dominated by the ~25 ms dev-tunnel round trip)."""
+    x = _device_batch(1)
+    float(run(arrays, x)[3])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(chain):
+        out = run(arrays, x)
+    float(out[3])
+    return (time.perf_counter() - t0) / chain
+
+
 def main():
     # measure both conv paths (XLA conv vs hand-fused Pallas kernels, which
     # are bit-identical) and report the best
@@ -100,6 +115,7 @@ def main():
     run = run_pl if best_is_pallas else run_xla
     arrays = arrays_pl if best_is_pallas else arrays
     p50 = latency_batch1(run, arrays)
+    dev_lat = latency_batch1_device(run, arrays)
     images_per_sec = max(tp_xla, tp_pallas)
     result = {
         "metric": "yolov3-tiny uint8 416x416 inference throughput (1 chip)",
@@ -107,6 +123,7 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMG_PER_SEC, 1),
         "p50_latency_batch1_ms": round(p50 * 1e3, 3),
+        "device_latency_batch1_ms": round(dev_lat * 1e3, 3),
         "images_per_sec_xla": round(tp_xla, 1),
         "images_per_sec_pallas": round(tp_pallas, 1),
         "conv_path": "pallas" if best_is_pallas else "xla",

@@ -65,7 +65,7 @@ def trained(tmp_path_factory):
 
     root = str(tmp_path_factory.mktemp("acc"))
     list_file = _make_dataset(root)
-    steps = 700
+    steps = 800
     net = zoo.yolov3_tiny(classes=3, width=96, height=96)
     # the zoo carries the reference NOK cfg's anchors (405-420 px wide coarse
     # anchors for that dataset's elongated parts) — square synthetic boxes
@@ -80,7 +80,7 @@ def trained(tmp_path_factory):
         for s in net.specs
     ))
     cfg = TrainConfig(
-        learning_rate=1e-3, burn_in=20, quant_start_step=steps // 2,
+        learning_rate=1e-3, burn_in=20, quant_start_step=steps * 2 // 5,
         max_batches=steps, batch_size=4,
     )
     trainer = Trainer(net, cfg, key=jax.random.PRNGKey(3))

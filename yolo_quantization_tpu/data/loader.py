@@ -46,7 +46,16 @@ class BatchLoader:
 
     def _make_batch(self):
         idxs = self.rng.integers(0, len(self.dataset), self.batch_size)
-        samples = list(self._pool.map(self.dataset.sample, idxs))
+        # per-sample generators: augmentation draws are a pure function of
+        # (loader seed, batch index, slot) — deterministic under any thread
+        # scheduling, and no Generator is shared across pool threads
+        seeds = self.rng.integers(0, 2**63 - 1, self.batch_size)
+        samples = list(
+            self._pool.map(
+                lambda t: self.dataset.sample(t[0], np.random.default_rng(t[1])),
+                zip(idxs, seeds),
+            )
+        )
         images = np.stack([s[0] for s in samples])
         truths = np.stack([s[1] for s in samples])
         return images, truths

@@ -242,13 +242,21 @@ class DetectionDataset:
         batches keep the old size, mirroring the reference's behavior."""
         self.net_w, self.net_h = net_w, net_h
 
-    def sample(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+    def sample(
+        self, idx: int, rng: np.random.Generator | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One (image, truth) draw.  ``rng`` must be provided when called
+        from multiple threads: numpy Generators are not thread-safe, and a
+        shared one makes augmentation depend on thread scheduling (the
+        loader passes a per-sample generator so training is deterministic
+        regardless of worker timing)."""
         path = self.paths[idx % len(self.paths)]
         im = load_image_rgb(path)
         boxes = read_boxes(label_path_for(path))
         if self.augment:
             im, boxes = augment_detection(
-                im, boxes, self.net_w, self.net_h, self.rng, self.aug_cfg
+                im, boxes, self.net_w, self.net_h,
+                rng if rng is not None else self.rng, self.aug_cfg,
             )
         else:
             h, w, _ = im.shape
