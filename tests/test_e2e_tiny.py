@@ -114,6 +114,18 @@ class TestIntegerEngineParity:
                 f"head {idx}: max err {err.max():.4f} vs scale {out_scale:.4f}"
             )
 
+    def test_int16_carrier_bit_identical(self, tiny_with_ranges):
+        """The whole-network int16 engine (reference MKL backend analog,
+        src/convolutional_layer.c:528-605) must match the int8 engine
+        bit-for-bit on every head."""
+        net, params, qs = tiny_with_ranges
+        program = convert(net, params, qs)
+        x = np.random.default_rng(7).uniform(0, 1, (1, 160, 160, 3)).astype(np.float32)
+        h8 = Engine(program).raw_heads(x)
+        h16 = Engine(program, carrier="int16").raw_heads(x)
+        for a, b in zip(h8, h16):
+            np.testing.assert_array_equal(a, b)
+
     def test_decode_and_nms_run(self, tiny_with_ranges):
         net, params, qs = tiny_with_ranges
         program = convert(net, params, qs)

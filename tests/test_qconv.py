@@ -167,6 +167,54 @@ class TestQuantizedConvOutput:
         assert (diff <= 1).mean() == 1.0
         assert (diff == 0).mean() > 0.4, f"only {(diff == 0).mean():.2%} exact"
 
+class TestInt16Carrier:
+    """The int16 carrier (reference MKL s16s16s32 backend,
+    src/convolutional_layer.c:528-605) runs the same 8-bit codes through
+    16-bit contractions — every bit of the output must match the int8 path."""
+
+    @pytest.mark.parametrize("symmetric", [True, False])
+    @pytest.mark.parametrize("stride,pad,K", [(1, 1, 3), (2, 0, 1)])
+    def test_bit_identical_to_int8_path(self, rng, symmetric, stride, pad, K):
+        case = make_case(rng, stride=stride, pad=pad, K=K)
+        x_u8 = jnp.asarray(case["x_u8"].transpose(1, 2, 0))[None]
+        w_u8 = case["w_u8"].transpose(2, 3, 1, 0)
+        w_i8 = np.asarray(u8_to_i8(jnp.asarray(w_u8)))
+        x_zp = jnp.int32(case["zp_in"] - 128)
+        w_zp = jnp.asarray(case["zp_w"].astype(np.int32) - 128)
+        if symmetric:
+            # re-center weights so zp==0, as convert(symmetric_weights=True)
+            w_i8 = np.clip(
+                w_i8.astype(np.int32) - np.asarray(w_zp), -127, 127
+            ).astype(np.int8)
+            w_zp = jnp.zeros_like(w_zp)
+        bias_i32 = fold_static_bias(
+            jnp.asarray(case["bias"]), jnp.float32(case["s_in"]),
+            jnp.asarray(case["s_w"]), x_zp, w_zp, jnp.asarray(w_i8),
+        )
+        m = jnp.asarray(case["s_in"] * case["s_w"] / case["s_out"], jnp.float32)
+        kw = dict(stride=stride, pad=pad, act=ACT_LEAKY, symmetric=symmetric)
+        out8 = quantized_conv2d(
+            x_u8, jnp.asarray(w_i8), bias_i32, m, x_zp, w_zp,
+            jnp.int32(case["zp_out"]), **kw,
+        )
+        out16 = quantized_conv2d(
+            x_u8, jnp.asarray(w_i8), bias_i32, m, x_zp, w_zp,
+            jnp.int32(case["zp_out"]), carrier="int16", **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(out8), np.asarray(out16))
+
+    def test_unknown_carrier_rejected(self, rng):
+        case = make_case(rng)
+        with pytest.raises(ValueError, match="carrier"):
+            run = lambda: quantized_conv2d(
+                jnp.asarray(case["x_u8"].transpose(1, 2, 0))[None],
+                jnp.zeros((3, 3, 4, 8), jnp.int8), jnp.zeros(8, jnp.int32),
+                jnp.ones(8, jnp.float32), jnp.int32(0), jnp.zeros(8, jnp.int32),
+                jnp.int32(0), stride=1, pad=1, carrier="int4",
+            )
+            run()
+
+
 def conv2d_nchw(x, w, bias, stride, pad):
     O, C, K, _ = w.shape
     H, W = x.shape[1:]

@@ -51,6 +51,7 @@ def _engine_from(args, net):
     from yolo_quantization_tpu.infer.float_engine import FloatEngine
 
     force_float = getattr(args, "float", False)
+    carrier = "int16" if getattr(args, "int16", False) else "int8"
 
     def build(params, qs):
         has_ranges = qs is not None and any(
@@ -60,12 +61,12 @@ def _engine_from(args, net):
         if force_float or not has_ranges:
             print("running FLOAT inference (no quant ranges or --float given)")
             return FloatEngine(net, params)
-        return Engine(convert(net, params, qs))
+        return Engine(convert(net, params, qs), carrier=carrier)
 
     if getattr(args, "program", None):
         from yolo_quantization_tpu.infer.serialize import load_program
 
-        return Engine(load_program(args.program))
+        return Engine(load_program(args.program), carrier=carrier)
     if args.weights:
         from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
 
@@ -501,6 +502,11 @@ def build_parser():
                             help="force float inference (close_quantization)")
             sp.add_argument("--program",
                             help="pre-converted integer program (.npz)")
+            sp.add_argument("--int16", action="store_true",
+                            help="run conv contractions with 16-bit operands "
+                                 "(the reference's MKL s16s16s32 backend, "
+                                 "src/convolutional_layer.c:528-605; "
+                                 "bit-identical outputs)")
 
     sp = sub.add_parser("train", help="QAT training")
     common(sp, weights=False)

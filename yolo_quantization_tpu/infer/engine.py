@@ -57,7 +57,7 @@ def _dequant_i8(x_i8: jax.Array, scale: float, zp: int) -> jax.Array:
 
 def build_forward(program: IntProgram, use_pallas: bool = False,
                   pallas_interpret: bool = False, return_outputs: bool = False,
-                  use_s2d: bool = False):
+                  use_s2d: bool = False, carrier: str = "int8"):
     """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
 
     ``return_outputs=True`` makes the fn return (heads, per_layer_outputs) —
@@ -71,6 +71,11 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
     the hand-fused Pallas kernel (ops/pallas_qconv.py); other layers keep the
     XLA path.  Toggle per deployment after benchmarking — the two are
     bit-identical (tests/test_pallas_qconv.py).
+
+    ``carrier="int16"`` runs every conv contraction with 16-bit operands —
+    the TPU analog of the reference's MKL s16s16s32 backend
+    (src/convolutional_layer.c:528-605).  Bit-identical outputs; exists for
+    capability parity and as an MXU-path cross-check (tests/test_qconv.py).
     """
     from yolo_quantization_tpu.nn.graph import MaxPoolSpec, RouteSpec, ShortcutSpec
     from yolo_quantization_tpu.ops.pallas_qconv import pallas_quantized_conv2d
@@ -227,7 +232,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                     y = qconv.quantized_conv2d(
                         x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"], a["w_zp"],
                         a["out_zp"], stride=s.stride, pad=s.pad, act=c.act,
-                        symmetric=c.symmetric_w, out_i8=True,
+                        symmetric=c.symmetric_w, out_i8=True, carrier=carrier,
                     )
                 if c.quant_stop:
                     y = _dequant_i8(y, c.out_scale, c.out_zp)
@@ -307,12 +312,13 @@ class Engine:
     """
 
     def __init__(self, program: IntProgram, max_det: int = 256,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, carrier: str = "int8"):
         self.program = program
         self.max_det = max_det
         self.use_pallas = use_pallas
+        self.carrier = carrier
         self.arrays = jax.device_put(program.arrays)
-        fwd = build_forward(program, use_pallas=use_pallas)
+        fwd = build_forward(program, use_pallas=use_pallas, carrier=carrier)
         net = program.net
 
         @jax.jit

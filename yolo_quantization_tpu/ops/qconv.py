@@ -61,6 +61,7 @@ def conv_acc_int32(
     stride: int,
     pad: int,
     symmetric: bool = False,
+    carrier: str = "int8",
 ) -> jax.Array:
     """int32 accumulator of sum (x - zx)(w - zw[o]) over each conv window.
 
@@ -76,14 +77,28 @@ def conv_acc_int32(
     (infer/convert.py), as the reference folds them into weights_sum_int
     (src/blas.c:306-311).  Only the data-dependent -zw[o]*patchsum(x) term is
     computed, via a 1-output-channel ones conv.
+
+    ``carrier`` selects the MXU operand width: "int8" (default) or "int16".
+    The int16 carrier is the TPU analog of the reference's MKL
+    ``cblas_gemm_s16s16s32`` backend (src/convolutional_layer.c:528-605,
+    src/gemm.c:141-277): the same 8-bit codes carried in 16-bit containers
+    through an s16 x s16 -> s32 contraction.  The accumulators — and thus
+    every downstream bit — are identical to the int8 path; the mode exists
+    for capability parity and as an independent cross-check of the MXU's
+    signed-int8 path.
     """
     if pad:
         # Pad with the input zero point, not 0: reference src/im2col.c:4-24.
         x_i8 = jnp.pad(
             x_i8,
             ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-            constant_values=x_zp_i32.astype(jnp.int8),
+            constant_values=x_zp_i32.astype(x_i8.dtype),
         )
+    if carrier == "int16":
+        x_i8 = x_i8.astype(jnp.int16)
+        w_i8 = w_i8.astype(jnp.int16)
+    elif carrier != "int8":
+        raise ValueError(f"unsupported conv carrier {carrier!r}")
     dn = lax.conv_dimension_numbers(x_i8.shape, w_i8.shape, ("NHWC", "HWIO", "NHWC"))
     acc = lax.conv_general_dilated(
         x_i8,
@@ -97,7 +112,7 @@ def conv_acc_int32(
         # weight zero points are all 0 in the int8 domain: no cross term
         return acc
     # patchsum[n,y,x] = sum of the input window — ones-kernel conv, O=1.
-    ones = jnp.ones(w_i8.shape[:3] + (1,), jnp.int8)
+    ones = jnp.ones(w_i8.shape[:3] + (1,), x_i8.dtype)
     patchsum = lax.conv_general_dilated(
         x_i8,
         ones,
@@ -149,7 +164,8 @@ def requant_activate(
     return jnp.clip(v + zpf, lo, 255.0).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric", "out_i8"))
+@partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric", "out_i8",
+                                   "carrier"))
 def quantized_conv2d(
     x_u8: jax.Array,
     w_i8: jax.Array,
@@ -164,6 +180,7 @@ def quantized_conv2d(
     act: int = ACT_LINEAR,
     symmetric: bool = False,
     out_i8: bool = False,
+    carrier: str = "int8",
 ) -> jax.Array:
     """Full integer conv layer: uint8 in -> uint8 out.
 
@@ -179,7 +196,7 @@ def quantized_conv2d(
     """
     x_i8 = x_u8 if x_u8.dtype == jnp.int8 else u8_to_i8(x_u8)
     acc = conv_acc_int32(
-        x_i8, w_i8, x_zp_i32, w_zp_i32, stride, pad, symmetric
+        x_i8, w_i8, x_zp_i32, w_zp_i32, stride, pad, symmetric, carrier=carrier
     )
     return requant_activate(acc, bias_i32, m, out_zp, act, out_i8=out_i8)
 
