@@ -206,13 +206,12 @@ class TestInt16Carrier:
     def test_unknown_carrier_rejected(self, rng):
         case = make_case(rng)
         with pytest.raises(ValueError, match="carrier"):
-            run = lambda: quantized_conv2d(
+            quantized_conv2d(
                 jnp.asarray(case["x_u8"].transpose(1, 2, 0))[None],
                 jnp.zeros((3, 3, 4, 8), jnp.int8), jnp.zeros(8, jnp.int32),
                 jnp.ones(8, jnp.float32), jnp.int32(0), jnp.zeros(8, jnp.int32),
                 jnp.int32(0), stride=1, pad=1, carrier="int4",
             )
-            run()
 
 
 def conv2d_nchw(x, w, bias, stride, pad):

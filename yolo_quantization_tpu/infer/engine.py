@@ -80,6 +80,11 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
     from yolo_quantization_tpu.nn.graph import MaxPoolSpec, RouteSpec, ShortcutSpec
     from yolo_quantization_tpu.ops.pallas_qconv import pallas_quantized_conv2d
 
+    if use_pallas and carrier != "int8":
+        # the hand kernel contracts int8 operands only; running it would
+        # silently skip the carrier's purpose as an MXU cross-check
+        raise ValueError("use_pallas supports carrier='int8' only")
+
     net = program.net
     cfg = program.cfg
 
@@ -187,7 +192,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 y = qconv.quantized_conv2d(
                     xs, a["w_s2d"], a["bias_s2d"], a["m_s2d"], a["x_zp"],
                     a["w_zp"], a["out_zp"], stride=1, pad=1, act=c.act,
-                    symmetric=True, out_i8=True,
+                    symmetric=True, out_i8=True, carrier=carrier,
                 )
                 o4 = y.shape[-1] // 4
                 y = jnp.max(y.reshape(n, h // 2, w // 2, 4, o4), axis=3)

@@ -85,7 +85,10 @@ def conv_acc_int32(
     through an s16 x s16 -> s32 contraction.  The accumulators — and thus
     every downstream bit — are identical to the int8 path; the mode exists
     for capability parity and as an independent cross-check of the MXU's
-    signed-int8 path.
+    signed-int8 path.  (Bit-identity of the two carriers is exercised on the
+    CPU backend in CI and verified once per round on the real TPU chip —
+    scripts/tpu_checks.py — since integer convs may lower differently per
+    backend.)
     """
     if pad:
         # Pad with the input zero point, not 0: reference src/im2col.c:4-24.
