@@ -266,6 +266,17 @@ def convert(
                 "w_scale": s_w.astype(np.float32),
                 "w_zp_u8": zp_w.astype(np.uint8),
             }
+            if i == 0:
+                # dynamic input quantization (reference src/blas.c:213-256
+                # re-quantizes every image): the engine's dynamic_input mode
+                # rebuilds this layer's bias/multiplier per image from the
+                # BN-folded float bias and the weight sums, so those raw
+                # ingredients ship with the program
+                arrays[i]["bias_f"] = bias.astype(np.float32)
+                arrays[i]["wsum_i32"] = (
+                    w_i8.astype(np.int64).sum(axis=(0, 1, 2)).astype(np.int32)
+                )
+                arrays[i]["out_scale_f"] = np.float32(so)
             # space-to-depth conv+pool rewrite for small-channel stems
             in_ch = shapes[i - 1][2] if i > 0 else net.channels
             oh, ow, _ = shapes[i]
@@ -280,9 +291,9 @@ def convert(
                 and nxt.size == 2 and nxt.stride == 2 and nxt.padding == 1
                 and i not in referenced and (i + 1) not in referenced
             ):
+                # phase-max happens on the int32 accumulators, so the plain
+                # per-channel bias/m apply after the max — no tiled copies
                 arrays[i]["w_s2d"] = _s2d_weights(w_i8)
-                arrays[i]["bias_s2d"] = np.tile(bias_i32, 4)
-                arrays[i]["m_s2d"] = np.tile(m.astype(np.float32), 4)
                 s2d = True
             else:
                 s2d = False

@@ -29,6 +29,41 @@ from yolo_quantization_tpu.nn.graph import (
 from yolo_quantization_tpu.ops import qconv
 
 
+def _round_half_away(v: jax.Array) -> jax.Array:
+    """C round() semantics (half away from zero) in exact f32 ops.
+
+    x - floor(x) is computed exactly in float32 for any x, so the .5
+    comparison never suffers the rounding an |x|+0.5 addition can; matches
+    parity/ctwin.py _c_round bit-for-bit on f32 inputs.
+    """
+    a = jnp.abs(v)
+    f = jnp.floor(a)
+    r = f + (a - f >= 0.5).astype(v.dtype)
+    return jnp.where(v < 0, -r, r)
+
+
+def _dynamic_input_qp(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-image input (scale, zero_point) with the reference's float32
+    arithmetic (src/blas.c:108-150; numpy twin parity/ctwin.dynamic_input_qp):
+    min/max seeded at 0, scale = (max-min)/255, zp = round(-min/scale) clamped.
+    Returns ((N,) f32 scale, (N,) f32 integral zp)."""
+    n = x.shape[0]
+    flat = x.reshape(n, -1).astype(jnp.float32)
+    mx = jnp.maximum(jnp.max(flat, axis=1), 0.0)
+    mn = jnp.minimum(jnp.min(flat, axis=1), 0.0)
+    scale = (mx - mn) / jnp.float32(255.0)
+    scale = jnp.where(scale > 0, scale, jnp.float32(1.0))
+    zp = jnp.clip(_round_half_away(jnp.float32(0.0) - mn / scale), 0.0, 255.0)
+    return scale, zp
+
+
+def _quantize_input_dynamic(x: jax.Array, scale: jax.Array, zp: jax.Array) -> jax.Array:
+    """Float image -> shifted int8 codes with per-image dynamic (scale, zp),
+    C round semantics (src/blas.c:152-158; ctwin.quantize_input_c)."""
+    t = _round_half_away(x / scale[:, None, None, None]) + zp[:, None, None, None]
+    return (jnp.clip(t, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
 def _quantize_input(x: jax.Array, scale: float, zp: int) -> jax.Array:
     """Image floats -> quantized codes (reference src/blas.c:213-256 quantizes
     the letterboxed input with the stored input scale per image).
@@ -57,7 +92,8 @@ def _dequant_i8(x_i8: jax.Array, scale: float, zp: int) -> jax.Array:
 
 def build_forward(program: IntProgram, use_pallas: bool = False,
                   pallas_interpret: bool = False, return_outputs: bool = False,
-                  use_s2d: bool = False, carrier: str = "int8"):
+                  use_s2d: bool = False, carrier: str = "int8",
+                  dynamic_input: bool = False):
     """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
 
     ``return_outputs=True`` makes the fn return (heads, per_layer_outputs) —
@@ -84,6 +120,12 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
         # the hand kernel contracts int8 operands only; running it would
         # silently skip the carrier's purpose as an MXU cross-check
         raise ValueError("use_pallas supports carrier='int8' only")
+    if dynamic_input and program.cfg[0].kind != "qconv":
+        raise ValueError(
+            "dynamic_input requires a quantized conv as layer 0 (the "
+            "reference re-quantizes the image feeding its first conv, "
+            "src/blas.c:213-256)"
+        )
 
     net = program.net
     cfg = program.cfg
@@ -125,6 +167,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
             oh, ow, _ = shapes[i]
             if (
                 _pallas_eligible(i, c)
+                and not (dynamic_input and i == 0)
                 and not c.quant_stop
                 and oh % 2 == 0
                 and ow % 2 == 0
@@ -155,7 +198,38 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
             )
 
     def forward(arrays, x):
-        x = _quantize_input(x, program.in_scale, program.in_zp)
+        if dynamic_input:
+            # per-image input quantization (reference src/blas.c:213-256):
+            # layer 0's bias/multiplier are rebuilt from the runtime scale —
+            # shapes stay static, only scalars flow
+            dyn_scale, dyn_zp = _dynamic_input_qp(x)
+            x = _quantize_input_dynamic(x, dyn_scale, dyn_zp)
+        else:
+            x = _quantize_input(x, program.in_scale, program.in_zp)
+
+        def _dyn_pad(x_i8, pad):
+            # pad with each image's own zero point (im2col zp-padding rule,
+            # src/im2col.c:4-24, but zp is per-image here)
+            n_, h_, w_, _ = x_i8.shape
+            zx_i8 = (dyn_zp - 128.0).astype(jnp.int8)[:, None, None, None]
+            xp = jnp.pad(x_i8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            interior = np.zeros((1, h_ + 2 * pad, w_ + 2 * pad, 1), bool)
+            interior[:, pad : pad + h_, pad : pad + w_, :] = True
+            return jnp.where(jnp.asarray(interior), xp, zx_i8)
+
+        def _dyn_bias_m(a, c, k_elems):
+            # per-image int32 bias + requant multiplier: the runtime twin of
+            # convert-time fold_static_bias / m (src/blas.c:306-334, re-done
+            # per image by quantization_activations_preprocess)
+            s_w = a["w_scale"]
+            denom = dyn_scale[:, None] * s_w[None, :]
+            bias_q = _round_half_away(a["bias_f"][None, :] / denom)
+            zx = dyn_zp[:, None] - 128.0
+            corr = -zx * a["wsum_i32"].astype(jnp.float32)
+            if not c.symmetric_w:
+                corr = corr + k_elems * zx * a["w_zp"].astype(jnp.float32)
+            return (bias_q + corr).astype(jnp.int32), denom / a["out_scale_f"]
+
         outputs = []
         heads = []
         skip_next = False
@@ -172,16 +246,19 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 # space-to-depth conv+pool (convert._s2d_weights): phase the
                 # 2x2 pixel blocks into channels so the 3/16/32-channel stem
                 # runs on full MXU lanes, then take the following 2x2/s2
-                # maxpool as an elementwise max over the 4 output phases.
-                # Bit-identical to conv -> requant -> pool (max commutes with
-                # the monotone per-channel epilogue; every pool window is one
-                # phase group on even maps).
-                # Default OFF: profiled SLOWER than the plain path on v5e —
-                # XLA materializes the 4x-channel conv output before the
-                # phase max, and the early layers are VPU-epilogue-bound, not
-                # lane-bound (docs/perf.md).  Kept as the substrate for the
-                # Pallas phase-max kernel, where the max runs on the int32
-                # accumulators in VMEM.
+                # maxpool as an elementwise max over the 4 output phase
+                # groups ON THE INT32 ACCUMULATORS, before the requant
+                # epilogue.  Bit-identical to conv -> requant -> pool: the
+                # per-channel epilogue map acc -> code (bias add, multiply by
+                # M>0, round, leaky/relu select, zero point, clamp) is
+                # monotone nondecreasing and identical across the 4 phases of
+                # a channel, so max commutes with it — while the VPU epilogue
+                # runs on 1/4 the elements and the pool op disappears.  (The
+                # r2 form requantized first and pooled codes, leaving the
+                # epilogue on 4x elements — the measured VPU bound,
+                # docs/perf.md.)  Slicing phase groups keeps the max an
+                # elementwise op XLA can fuse into the conv consumer chain,
+                # instead of a reshape+reduce_max it materializes.
                 a = arrays[i]
                 if x.dtype != jnp.int8:
                     qp = c.in_scales[0]
@@ -189,13 +266,32 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 n, h, w, ci = x.shape
                 xs = x.reshape(n, h // 2, 2, w // 2, 2, ci)
                 xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * ci)
-                y = qconv.quantized_conv2d(
-                    xs, a["w_s2d"], a["bias_s2d"], a["m_s2d"], a["x_zp"],
-                    a["w_zp"], a["out_zp"], stride=1, pad=1, act=c.act,
-                    symmetric=True, out_i8=True, carrier=carrier,
+                if dynamic_input and i == 0:
+                    xs = _dyn_pad(xs, 1)
+                    acc = qconv.conv_acc_int32(
+                        xs, a["w_s2d"], a["x_zp"], a["w_zp"], stride=1, pad=0,
+                        symmetric=True, carrier=carrier,
+                    )
+                else:
+                    acc = qconv.conv_acc_int32(
+                        xs, a["w_s2d"], a["x_zp"], a["w_zp"], stride=1, pad=1,
+                        symmetric=True, carrier=carrier,
+                    )
+                o4 = acc.shape[-1] // 4
+                accm = jnp.maximum(
+                    jnp.maximum(acc[..., :o4], acc[..., o4 : 2 * o4]),
+                    jnp.maximum(acc[..., 2 * o4 : 3 * o4], acc[..., 3 * o4 :]),
                 )
-                o4 = y.shape[-1] // 4
-                y = jnp.max(y.reshape(n, h // 2, w // 2, 4, o4), axis=3)
+                if dynamic_input and i == 0:
+                    wk = a["w_i8"].shape
+                    bias_dyn, m_dyn = _dyn_bias_m(a, c, wk[0] * wk[1] * wk[2])
+                    y = qconv.requant_activate(
+                        accm, bias_dyn, m_dyn, a["out_zp"], c.act, out_i8=True
+                    )
+                else:
+                    y = qconv.requant_activate(
+                        accm, a["bias_i32"], a["m"], a["out_zp"], c.act, out_i8=True
+                    )
                 # outputs[i] is the (unavailable) pre-pool tensor; the plan
                 # guarantees nothing references it (convert checks routes)
                 outputs.append(y)
@@ -226,7 +322,18 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                     # input with the QAT-tracked boundary range
                     qp = c.in_scales[0]
                     x = _quantize_input(x, qp[0], qp[1])
-                if use_pallas and _pallas_eligible(i, c):
+                if dynamic_input and i == 0:
+                    xq = _dyn_pad(x, s.pad) if s.pad else x
+                    acc = qconv.conv_acc_int32(
+                        xq, a["w_i8"], a["x_zp"], a["w_zp"], stride=s.stride,
+                        pad=0, symmetric=c.symmetric_w, carrier=carrier,
+                    )
+                    wk = a["w_i8"].shape
+                    bias_dyn, m_dyn = _dyn_bias_m(a, c, wk[0] * wk[1] * wk[2])
+                    y = qconv.requant_activate(
+                        acc, bias_dyn, m_dyn, a["out_zp"], c.act, out_i8=True
+                    )
+                elif use_pallas and _pallas_eligible(i, c):
                     y = pallas_quantized_conv2d(
                         x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"],
                         stride=1, pad=s.pad, act=c.act,
@@ -317,13 +424,15 @@ class Engine:
     """
 
     def __init__(self, program: IntProgram, max_det: int = 256,
-                 use_pallas: bool = False, carrier: str = "int8"):
+                 use_pallas: bool = False, carrier: str = "int8",
+                 use_s2d: bool = False, dynamic_input: bool = False):
         self.program = program
         self.max_det = max_det
         self.use_pallas = use_pallas
         self.carrier = carrier
         self.arrays = jax.device_put(program.arrays)
-        fwd = build_forward(program, use_pallas=use_pallas, carrier=carrier)
+        fwd = build_forward(program, use_pallas=use_pallas, carrier=carrier,
+                            use_s2d=use_s2d, dynamic_input=dynamic_input)
         net = program.net
 
         @jax.jit

@@ -148,8 +148,13 @@ def requant_activate(
     internal representation, which keeps activations in the MXU-native signed
     domain between layers and eliminates a per-layer uint8->int8 conversion
     pass over HBM (measured ~20% of device time at batch 128).
+
+    ``bias_i32``/``m`` are per-channel (O,) normally; the engine's dynamic
+    input mode passes per-image (N, O) values for the first layer.
     """
-    v = jnp.round((acc + bias_i32.reshape(1, 1, 1, -1)).astype(jnp.float32) * m.reshape(1, 1, 1, -1))
+    b = bias_i32.reshape(1, 1, 1, -1) if bias_i32.ndim == 1 else bias_i32[:, None, None, :]
+    mm = m.reshape(1, 1, 1, -1) if m.ndim == 1 else m[:, None, None, :]
+    v = jnp.round((acc + b).astype(jnp.float32) * mm)
     if act == ACT_LEAKY:
         v = jnp.where(v < 0, jnp.round(v * 0.1), v)
     elif act not in (ACT_RELU, ACT_RELU6, ACT_LINEAR):
