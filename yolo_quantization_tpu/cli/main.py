@@ -61,12 +61,14 @@ def _engine_from(args, net):
         if force_float or not has_ranges:
             print("running FLOAT inference (no quant ranges or --float given)")
             return FloatEngine(net, params)
-        return Engine(convert(net, params, qs), carrier=carrier)
+        return Engine(convert(net, params, qs), carrier=carrier,
+                      dynamic_input=getattr(args, "dynamic_input", False))
 
     if getattr(args, "program", None):
         from yolo_quantization_tpu.infer.serialize import load_program
 
-        return Engine(load_program(args.program), carrier=carrier)
+        return Engine(load_program(args.program), carrier=carrier,
+                      dynamic_input=getattr(args, "dynamic_input", False))
     if args.weights:
         from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
 
@@ -197,12 +199,30 @@ def cmd_detect(args):
             f"box(x={b[i, 0]:.3f} y={b[i, 1]:.3f} w={b[i, 2]:.3f} h={b[i, 3]:.3f})"
         )
     if args.out:
-        _draw(im, b, o, args.thresh, args.out)
+        _draw(im, b, o, args.thresh, args.out, cls=c, names=names)
         print(f"  wrote {args.out}")
 
 
-def _annotate(im, boxes, obj, thresh):
-    """Draw boxes; returns the annotated frame as float32 RGB [0,1]."""
+def _class_color(ci: int, classes: int):
+    """Darknet's per-class color wheel (src/image.c get_color, called from
+    draw_detections with offset = class*123457 %% classes and channels
+    red/green/blue = columns 2/1/0 of a 6-color table)."""
+    table = [(1, 0, 1), (0, 0, 1), (0, 1, 1), (0, 1, 0), (1, 1, 0), (1, 0, 0)]
+    classes = max(classes, 1)
+    offset = (ci * 123457) % classes
+    ratio = offset / classes * 5
+    i, j = int(ratio), min(int(ratio) + 1, 5)
+    r = ratio - i
+    rgb = [(1 - r) * table[i][c] + r * table[j][c] for c in (2, 1, 0)]
+    return tuple(int(255 * v) for v in rgb)
+
+
+def _annotate(im, boxes, obj, thresh, cls=None, names=None):
+    """Draw boxes with class-name labels; returns float32 RGB [0,1].
+
+    The information content of the reference's draw_detections
+    (src/image.c: class-colored box + "name: prob" label strip) — text via
+    PIL instead of the reference's 761 pre-rendered glyph PNGs."""
     import numpy as np
     from PIL import Image, ImageDraw
 
@@ -213,19 +233,35 @@ def _annotate(im, boxes, obj, thresh):
         if obj[i] <= thresh:
             continue
         x, y, bw, bh = boxes[i]
-        d.rectangle(
-            [(x - bw / 2) * w, (y - bh / 2) * h, (x + bw / 2) * w, (y + bh / 2) * h],
-            outline=(255, 60, 40),
-            width=3,
-        )
+        left, top = (x - bw / 2) * w, (y - bh / 2) * h
+        right, bot = (x + bw / 2) * w, (y + bh / 2) * h
+        color = (255, 60, 40)
+        label = None
+        if cls is not None and np.size(cls[i]):
+            probs = obj[i] * np.asarray(cls[i])
+            ci = int(np.argmax(probs))
+            if probs[ci] > thresh:
+                name = names[ci] if names and ci < len(names) else f"class{ci}"
+                label = f"{name} {100 * probs[ci]:.0f}%"
+            color = _class_color(ci, len(cls[i]))
+        d.rectangle([left, top, right, bot], outline=color,
+                    width=max(2, round(0.006 * min(h, w))))
+        if label:
+            tb = d.textbbox((0, 0), label)
+            tw, th = tb[2] - tb[0], tb[3] - tb[1]
+            y0 = top - th - 4 if top - th - 4 >= 0 else top
+            d.rectangle([left, y0, left + tw + 4, y0 + th + 4], fill=color)
+            lum = 0.299 * color[0] + 0.587 * color[1] + 0.114 * color[2]
+            d.text((left + 2, y0 + 2), label,
+                   fill=(0, 0, 0) if lum > 128 else (255, 255, 255))
     return np.asarray(img).astype(np.float32) / 255.0
 
 
-def _draw(im, boxes, obj, thresh, out_path):
+def _draw(im, boxes, obj, thresh, out_path, cls=None, names=None):
     import numpy as np
     from PIL import Image
 
-    out = _annotate(im, boxes, obj, thresh)
+    out = _annotate(im, boxes, obj, thresh, cls=cls, names=names)
     Image.fromarray((out * 255).astype(np.uint8)).save(out_path)
 
 
@@ -424,10 +460,18 @@ def cmd_demo(args):
     engine = _engine_from(args, net)
     server = Server(engine, batch_size=args.batch_size, max_delay_ms=10)
 
+    names = None
+    if getattr(args, "names", None):
+        with open(args.names) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+
     def _dets_arrays(dets):
         boxes = np.array([d.box for d in dets]) if dets else np.zeros((0, 4))
         objs = np.array([d.objectness for d in dets]) if dets else np.zeros(0)
-        return boxes, objs
+        cls = (
+            np.array([d.class_probs for d in dets]) if dets else np.zeros((0, 0))
+        )
+        return boxes, objs, cls
 
     t0 = time.time()
     if os.path.isfile(args.frames):
@@ -443,10 +487,12 @@ def cmd_demo(args):
             pending.append((im, server.submit(im, thresh=args.thresh)))
             if len(pending) >= 4 * args.batch_size:
                 im0, fut = pending.pop(0)
-                writer.write(_annotate(im0, *_dets_arrays(fut.result(timeout=600)), 0.0))
+                bb, oo, cc = _dets_arrays(fut.result(timeout=600))
+                writer.write(_annotate(im0, bb, oo, 0.0, cls=cc, names=names))
                 n += 1
         for im0, fut in pending:
-            writer.write(_annotate(im0, *_dets_arrays(fut.result(timeout=600)), 0.0))
+            bb, oo, cc = _dets_arrays(fut.result(timeout=600))
+            writer.write(_annotate(im0, bb, oo, 0.0, cls=cc, names=names))
             n += 1
         writer.close()
         where = f"annotated video {out_path}"
@@ -466,8 +512,8 @@ def cmd_demo(args):
             futures.append(server.submit(im, thresh=args.thresh))
         for f, im, fut in zip(frames, images, futures):
             out = os.path.join(args.out_dir, os.path.basename(f))
-            boxes, objs = _dets_arrays(fut.result(timeout=600))
-            _draw(im, boxes, objs, 0.0, out)
+            boxes, objs, cc = _dets_arrays(fut.result(timeout=600))
+            _draw(im, boxes, objs, 0.0, out, cls=cc, names=names)
         n = len(frames)
         where = f"annotated frames in {args.out_dir}"
     dt = time.time() - t0
@@ -507,6 +553,10 @@ def build_parser():
                                  "(the reference's MKL s16s16s32 backend, "
                                  "src/convolutional_layer.c:528-605; "
                                  "bit-identical outputs)")
+            sp.add_argument("--dynamic-input", action="store_true",
+                            help="re-quantize the input per image at runtime "
+                                 "(the reference's per-image preprocessing, "
+                                 "src/blas.c:213-256)")
 
     sp = sub.add_parser("train", help="QAT training")
     common(sp, weights=False)
@@ -606,6 +656,7 @@ def build_parser():
                     help="output path for video mode (default <input>_det.mp4)")
     sp.add_argument("--thresh", type=float, default=0.5)
     sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--names", help="class names file for box labels")
     sp.set_defaults(fn=cmd_demo)
 
     sp = sub.add_parser("bench", help="run the TPU benchmark")
