@@ -1,0 +1,255 @@
+"""Flagship-resolution accuracy capstone (VERDICT r2 item 2).
+
+The reference's headline is F1 90.08/91.83/90.94 from QAT at 416x416 on a
+5-class set (README.md:55-58, eval protocol examples/detector.c:760-876).
+Its dataset and pretrained weights do not exist here, so this reproduces the
+PROTOCOL at the flagship config on synthetic data:
+
+  - 416x416, 5 classes, multi-box (2 large -> coarse head, 2 small -> fine
+    head through the route+upsample path)
+  - full QAT schedule: float burn-in -> quant_start_step -> EMA ranges
+  - multi-scale buckets {320, 416, 512} every 10 steps (the reference's
+    random-dim resize, examples/detector.c:65-84)
+  - convert -> integer engine; f1 threshold sweep 0.1-0.7, NMS 0.1, IoU 0.1
+    for BOTH the float engine and the integer engine
+  - contract: int F1 within 0.5 of float F1 (BASELINE.md parity band)
+
+Everything bulk stays on device: the dataset is rendered INSIDE jit from
+PRNG keys (host->device image uploads over the tunneled dev TPU cost minutes
+per batch), and eval fetches only the top-k detections.
+
+Usage: python scripts/accuracy_capstone.py [steps] [batch] [--no-multiscale]
+Writes ACCURACY_r03.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from dataclasses import replace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLASSES = 5
+PALETTE = jnp.asarray(
+    [
+        [0.95, 0.30, 0.20],
+        [0.25, 0.85, 0.35],
+        [0.25, 0.40, 0.95],
+        [0.92, 0.85, 0.25],
+        [0.80, 0.30, 0.90],
+    ],
+    jnp.float32,
+)
+MAX_BOXES = 90
+SLOTS = 4  # 2 large + 2 small per image
+
+
+def render_batch(key, batch: int, size: int):
+    """Render a batch on device: noise background + colored class rectangles.
+
+    Slots 0-1 are large boxes (rel 0.45-0.72 -> the coarse head's 135-344 px
+    anchors at 416), slots 2-3 small (rel 0.09-0.2 -> the fine head's
+    23-58 px anchors).  Slots 1 and 3 are present with prob 0.7.  Returns
+    (images (B,S,S,3) f32, truths (B,MAX_BOXES,5) [x,y,w,h,cls])."""
+    kb, kc, kw, kx, kj, kp = jax.random.split(key, 6)
+    img = jax.random.uniform(kb, (batch, size, size, 3), jnp.float32, 0.0, 0.22)
+    lo = jnp.asarray([0.45, 0.45, 0.09, 0.09])
+    hi = jnp.asarray([0.72, 0.72, 0.20, 0.20])
+    wh = jax.random.uniform(kw, (batch, SLOTS, 2), jnp.float32) * (
+        (hi - lo)[None, :, None]
+    ) + lo[None, :, None]
+    xy = (
+        jax.random.uniform(kx, (batch, SLOTS, 2), jnp.float32)
+        * (1.0 - wh) + wh / 2
+    )
+    cls = jax.random.randint(kc, (batch, SLOTS), 0, CLASSES)
+    present = jnp.concatenate(
+        [
+            jnp.ones((batch, 1), bool),
+            jax.random.uniform(kp, (batch, 1)) < 0.7,
+            jnp.ones((batch, 1), bool),
+            jax.random.uniform(jax.random.fold_in(kp, 1), (batch, 1)) < 0.7,
+        ],
+        axis=1,
+    )
+    jitter = jax.random.uniform(kj, (batch, SLOTS, 1, 1, 3), jnp.float32, -0.06, 0.06)
+    yy = jnp.arange(size, dtype=jnp.float32)[None, :, None] / size
+    xx = jnp.arange(size, dtype=jnp.float32)[None, None, :] / size
+    for s in range(SLOTS):  # paint larges first so smalls stay visible
+        x0 = (xy[:, s, 0] - wh[:, s, 0] / 2)[:, None, None]
+        x1 = (xy[:, s, 0] + wh[:, s, 0] / 2)[:, None, None]
+        y0 = (xy[:, s, 1] - wh[:, s, 1] / 2)[:, None, None]
+        y1 = (xy[:, s, 1] + wh[:, s, 1] / 2)[:, None, None]
+        mask = (
+            (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
+            & present[:, s, None, None]
+        )
+        color = jnp.clip(PALETTE[cls[:, s]][:, None, None, :] + jitter[:, s], 0, 1)
+        img = jnp.where(mask[..., None], color, img)
+    truth_rows = jnp.concatenate(
+        [xy, jnp.where(present[..., None], wh, 0.0), cls[..., None].astype(jnp.float32)],
+        axis=-1,
+    )
+    truths = jnp.pad(truth_rows, ((0, 0), (0, MAX_BOXES - SLOTS), (0, 0)))
+    return img, truths
+
+
+def build_net():
+    from yolo_quantization_tpu.models import zoo
+    from yolo_quantization_tpu.nn.graph import YoloSpec
+
+    net = zoo.yolov3_tiny(classes=CLASSES, width=416, height=416)
+    # standard darknet-tiny anchors (the zoo ships the NOK cfg's elongated
+    # anchors, unmatched by square synthetic boxes — same swap as the CI gate)
+    std = ((10, 14), (23, 27), (37, 58), (81, 82), (135, 169), (344, 319))
+    return replace(
+        net,
+        specs=tuple(
+            replace(s, anchors=std) if isinstance(s, YoloSpec) else s
+            for s in net.specs
+        ),
+    )
+
+
+def train(net, steps: int, batch: int, multiscale: bool, quant_start: int):
+    from yolo_quantization_tpu.train.qat import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        learning_rate=1e-3, burn_in=50, batch_size=batch,
+        quant_start_step=quant_start, max_batches=steps,
+    )
+    state = init_train_state(net, cfg, jax.random.PRNGKey(3))
+    fstep = make_train_step(net, cfg, qat=False)
+    qstep = make_train_step(net, cfg, qat=True)
+    gen = jax.jit(render_batch, static_argnames=("batch", "size"))
+    sizes = (320, 416, 512) if multiscale else (416,)
+    base = jax.random.PRNGKey(101)
+    t0 = time.time()
+    metrics = None
+    for step in range(steps):
+        size = sizes[(step // 10) % len(sizes)]
+        imgs, truths = gen(jax.random.fold_in(base, step), batch=batch, size=size)
+        fn = qstep if step >= quant_start else fstep
+        state, metrics = fn(state, imgs, truths)
+        if (step + 1) % 100 == 0 or step + 1 == steps:
+            loss = float(metrics["loss"])  # forces the queued chain
+            print(
+                f"step {step + 1}/{steps} size {size} loss {loss:.4f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    return state
+
+
+def eval_engine(run, params_or_arrays, n_images: int, batch: int = 25,
+                max_det: int = 64):
+    """Device-side eval: render fixed seeded images, run, fetch only top-k."""
+    gen = jax.jit(render_batch, static_argnames=("batch", "size"))
+    cache = []
+    for bi in range(n_images // batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(777), bi)
+        imgs, truths = gen(key, batch=batch, size=416)
+        boxes, obj, cls = run(params_or_arrays, imgs)
+        boxes, obj = np.asarray(boxes), np.asarray(obj)
+        tr = np.asarray(truths)
+        for k in range(batch):
+            rows = tr[k][tr[k, :, 2] > 0]
+            truths_k = np.concatenate(
+                [rows[:, 4:5], rows[:, 0:4]], axis=1
+            )  # [cls,x,y,w,h]
+            cache.append((boxes[k], obj[k], truths_k))
+    return cache
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    steps = int(args[0]) if args else 3000
+    batch = int(args[1]) if len(args) > 1 else 32
+    multiscale = "--no-multiscale" not in sys.argv
+    quant_start = steps * 2 // 5
+
+    from yolo_quantization_tpu.eval import detect
+    from yolo_quantization_tpu.eval.f1 import f1_rows
+    from yolo_quantization_tpu.infer.convert import convert
+    from yolo_quantization_tpu.infer.engine import Engine
+    from yolo_quantization_tpu.infer.float_engine import FloatEngine
+
+    net = build_net()
+    print(
+        f"capstone: 416x416 {CLASSES}-class QAT, {steps} steps batch {batch}, "
+        f"multiscale={multiscale}, quant_start={quant_start}, "
+        f"device={jax.devices()[0]}",
+        flush=True,
+    )
+    t0 = time.time()
+    state = train(net, steps, batch, multiscale, quant_start)
+    train_s = time.time() - t0
+
+    params = jax.tree.map(np.asarray, state.params)
+    qs = jax.tree.map(np.asarray, state.quant_state)
+
+    fe = FloatEngine(net, params, max_det=64)
+    float_cache = eval_engine(fe._run, fe.params, n_images=200)
+    frows = f1_rows(float_cache, verbose=True)
+    fbest = max(frows, key=lambda r: r.f1)
+    print(f"float best: thresh {fbest.thresh} R {fbest.recall:.2f} "
+          f"P {fbest.precision:.2f} F1 {fbest.f1:.2f}", flush=True)
+
+    program = convert(net, params, qs)
+    eng = Engine(program, max_det=64)
+
+    @jax.jit
+    def int_run(arrays, x):
+        from yolo_quantization_tpu.infer.engine import build_forward
+
+        heads = build_forward(program)(arrays, x)
+        b, o, c = detect.decode_all_heads(heads, net)
+        return detect.top_k_detections(b, o, c, 64)
+
+    int_cache = eval_engine(int_run, eng.arrays, n_images=200)
+    irows = f1_rows(int_cache, verbose=True)
+    ibest = max(irows, key=lambda r: r.f1)
+    print(f"int best: thresh {ibest.thresh} R {ibest.recall:.2f} "
+          f"P {ibest.precision:.2f} F1 {ibest.f1:.2f}", flush=True)
+
+    out = {
+        "metric": "accuracy_capstone_416",
+        "config": {
+            "size": 416, "classes": CLASSES, "steps": steps, "batch": batch,
+            "multiscale": multiscale, "quant_start_step": quant_start,
+            "eval_images": 200, "protocol": "detector f1 sweep 0.1-0.7, NMS "
+            "0.1, IoU 0.1 (examples/detector.c:760-876)",
+        },
+        "train_seconds": round(train_s, 1),
+        "float": {
+            "thresh": fbest.thresh, "recall": round(fbest.recall, 2),
+            "precision": round(fbest.precision, 2), "f1": round(fbest.f1, 2),
+        },
+        "int": {
+            "thresh": ibest.thresh, "recall": round(ibest.recall, 2),
+            "precision": round(ibest.precision, 2), "f1": round(ibest.f1, 2),
+        },
+        "f1_gap": round(fbest.f1 - ibest.f1, 3),
+        "within_half_point": bool(ibest.f1 >= fbest.f1 - 0.5),
+        "device": str(jax.devices()[0]),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "ACCURACY_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,7 +101,20 @@ def f1_sweep(
     for p, (boxes, obj, _cls) in zip(paths, predict_batched(engine, paths)):
         truths = read_boxes(label_path_for(p))
         cache.append((boxes, obj, truths))
+    return f1_rows(cache, thresholds, iou_thresh, nms, verbose)
 
+
+def f1_rows(
+    cache,
+    thresholds=tuple(round(0.1 * i, 1) for i in range(1, 7)),
+    iou_thresh: float = 0.1,
+    nms: float = 0.1,
+    verbose: bool = False,
+) -> list[F1Row]:
+    """The detector-f1 counting protocol over precomputed per-image
+    (boxes, obj, truths) triples — truths rows are [cls, x, y, w, h].
+    Split out of f1_sweep so device-side eval pipelines (the 416 accuracy
+    capstone renders its images on the chip) reuse the exact counting."""
     rows = []
     for thresh in thresholds:
         tp = tp_fp = tp_fn = 0
