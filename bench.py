@@ -5,15 +5,29 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline (BASELINE.md): the reference's uint8 CPU path runs one 416x416 image
 in 0.34 s => 2.94 images/sec.  vs_baseline = our images/sec/chip / 2.94.
 
-Timing notes: on the tunneled dev TPU a host<->device round trip costs ~25 ms,
-so throughput is measured amortized — N executions queued on the device
-stream, one final scalar fetch forcing the chain — while batch-1 latency is
-reported end-to-end (single call + result fetch).
+Device truth (VERDICT r2 item 5): host-visible throughput through the dev
+tunnel carries ~±4% noise plus a constant per-chain overhead, so the JSON
+also reports
+  - device_images_per_sec: from the difference of two chain lengths,
+    (T(2N) - T(N)) / (N * batch) — the constant dispatch/fetch overhead and
+    the final-result RTT cancel, leaving pure device execution time;
+  - mfu_int8: device MAC throughput vs the chip's int8 peak (v5e: 394 TOPS),
+    with MACs counted from the conv geometry of the actual graph.
+
+Timing notes: on the tunneled dev TPU a host<->device round trip costs ~25 ms
+and jax.block_until_ready does NOT force execution (docs/perf.md), so every
+measurement queues executions on the device stream and fetches one scalar.
+
+The Pallas conv path is opt-in (YOLOQ_BENCH_PALLAS=1): it is bit-identical
+but measured slower than the XLA path on every layer that matters, and its
+whole-graph compile over the dev tunnel costs tens of minutes (kill decision
++ per-layer table: docs/perf.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -21,6 +35,23 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 1.0 / 0.34  # reference README.md:58
+V5E_INT8_TOPS = 394e12  # TPU v5e peak int8, ops/sec (2 ops per MAC)
+
+
+def conv_macs_per_image(program) -> float:
+    """Sum conv MACs from the graph geometry (quantized + float convs)."""
+    from yolo_quantization_tpu.nn.graph import ConvSpec
+
+    net = program.net
+    shapes = net.shapes()
+    macs = 0
+    for i, s in enumerate(net.specs):
+        if not isinstance(s, ConvSpec):
+            continue
+        ih, iw, ic = shapes[i - 1] if i > 0 else (net.height, net.width, net.channels)
+        oh, ow, oc = shapes[i]
+        macs += oh * ow * oc * s.size * s.size * ic
+    return float(macs)
 
 
 def _build(use_pallas: bool = False):
@@ -41,7 +72,7 @@ def _build(use_pallas: bool = False):
         # tiny reduction so forcing the chain transfers 4 bytes, not megabytes
         return boxes, obj, cls, jnp.sum(obj)
 
-    return run, arrays
+    return run, arrays, program
 
 
 def _device_batch(batch: int) -> jax.Array:
@@ -53,16 +84,24 @@ def _device_batch(batch: int) -> jax.Array:
     )(jax.random.PRNGKey(0))
 
 
-def throughput(run, arrays, batch: int, chain: int = 20) -> float:
-    x = _device_batch(batch)
-    float(run(arrays, x)[3])  # compile + warm
+def _chain_time(run, arrays, x, chain: int) -> float:
     t0 = time.perf_counter()
     out = None
     for _ in range(chain):
         out = run(arrays, x)
     float(out[3])  # force the chain
-    dt = time.perf_counter() - t0
-    return chain * batch / dt
+    return time.perf_counter() - t0
+
+
+def throughput(run, arrays, batch: int, chain: int = 20) -> tuple[float, float]:
+    """Returns (host images/sec over a chain, device seconds per batch)."""
+    x = _device_batch(batch)
+    float(run(arrays, x)[3])  # compile + warm
+    t1 = min(_chain_time(run, arrays, x, chain) for _ in range(2))
+    t2 = min(_chain_time(run, arrays, x, 2 * chain) for _ in range(2))
+    host_ips = chain * batch / t1
+    dev_s_per_batch = max((t2 - t1) / chain, 1e-9)
+    return host_ips, dev_s_per_batch
 
 
 def latency_batch1(run, arrays, iters: int = 20) -> float:
@@ -77,26 +116,21 @@ def latency_batch1(run, arrays, iters: int = 20) -> float:
 
 
 def latency_batch1_device(run, arrays, chain: int = 50) -> float:
-    """On-device batch-1 latency, tunnel-RTT-free: queue `chain` sequential
-    batch-1 executions on the device stream and fetch one scalar — the
-    amortized per-call time is device execution only (the single-call p50
-    above is dominated by the ~25 ms dev-tunnel round trip)."""
+    """On-device batch-1 latency via the same two-chain overhead cancel."""
     x = _device_batch(1)
     float(run(arrays, x)[3])
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(chain):
-        out = run(arrays, x)
-    float(out[3])
-    return (time.perf_counter() - t0) / chain
+    t1 = _chain_time(run, arrays, x, chain)
+    t2 = _chain_time(run, arrays, x, 2 * chain)
+    return max((t2 - t1) / chain, 1e-9)
 
 
 def main():
-    # measure both conv paths (XLA conv vs hand-fused Pallas kernels, which
-    # are bit-identical) and report the best
     try:
-        run_xla, arrays = _build(use_pallas=False)
-        tp_xla = throughput(run_xla, arrays, batch=128)
+        run, arrays, program = _build(use_pallas=False)
+        per_batch = {}
+        dev_per_batch = {}
+        for batch in (128, 256):
+            per_batch[batch], dev_per_batch[batch] = throughput(run, arrays, batch)
     except Exception as e:  # still emit a JSON line if the device is sick
         print(f"# xla path failed: {type(e).__name__}: {e}", flush=True)
         print(json.dumps({
@@ -105,28 +139,35 @@ def main():
             "error": f"{type(e).__name__}: {e}"[:200],
         }))
         return
-    try:
-        run_pl, arrays_pl = _build(use_pallas=True)
-        tp_pallas = throughput(run_pl, arrays_pl, batch=128)
-    except Exception as e:  # pallas compile issues must not sink the bench
-        print(f"# pallas path failed: {type(e).__name__}: {e}", flush=True)
-        tp_pallas = 0.0
-    best_is_pallas = tp_pallas > tp_xla
-    run = run_pl if best_is_pallas else run_xla
-    arrays = arrays_pl if best_is_pallas else arrays
+    tp_pallas = 0.0
+    if os.environ.get("YOLOQ_BENCH_PALLAS"):
+        try:
+            run_pl, arrays_pl, _ = _build(use_pallas=True)
+            tp_pallas, _ = throughput(run_pl, arrays_pl, batch=128)
+        except Exception as e:
+            print(f"# pallas path failed: {type(e).__name__}: {e}", flush=True)
+
+    best_batch = max(per_batch, key=lambda b: per_batch[b])
+    images_per_sec = per_batch[best_batch]
+    dev_ips = best_batch / dev_per_batch[best_batch]
+    macs = conv_macs_per_image(program)
     p50 = latency_batch1(run, arrays)
     dev_lat = latency_batch1_device(run, arrays)
-    images_per_sec = max(tp_xla, tp_pallas)
     result = {
         "metric": "yolov3-tiny uint8 416x416 inference throughput (1 chip)",
         "value": round(images_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMG_PER_SEC, 1),
+        "batch": best_batch,
+        "device_images_per_sec": round(dev_ips, 1),
+        "device_ms_per_batch": round(1e3 * dev_per_batch[best_batch], 3),
+        "mfu_int8": round(2.0 * macs * dev_ips / V5E_INT8_TOPS, 4),
+        "conv_gmacs_per_image": round(macs / 1e9, 3),
         "p50_latency_batch1_ms": round(p50 * 1e3, 3),
         "device_latency_batch1_ms": round(dev_lat * 1e3, 3),
-        "images_per_sec_xla": round(tp_xla, 1),
+        "images_per_sec_by_batch": {str(k): round(v, 1) for k, v in per_batch.items()},
         "images_per_sec_pallas": round(tp_pallas, 1),
-        "conv_path": "pallas" if best_is_pallas else "xla",
+        "conv_path": "xla",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
