@@ -258,7 +258,7 @@ def pallas_quantized_conv2d(
         in_specs=[
             # the padded input stays in HBM (whole array; ANY space requires
             # a trivial index map); the kernel DMAs slabs per grid cell
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (k, k, ci, tco), lambda nn, ii, jj: (0, 0, 0, jj),
                 memory_space=pltpu.VMEM,
@@ -280,3 +280,153 @@ def pallas_quantized_conv2d(
         out = out.reshape(n, num_row_tiles * orows, co)
     out = out[:, : oh * owp, :].reshape(n, oh, owp, co)
     return out[:, :, :ow, :]
+
+
+def _s2d_phase_kernel(
+    x_hbm,      # (N, Hp*Wp, Ci4) int8: s2d input, zp-padded, flat rows, HBM
+    w_ref,      # (K, K, Ci4, 4*O) int8: block kernel, slot (py*2+px)*O + o
+    bias_ref,   # (1, O) int32
+    m_ref,      # (1, O) float32
+    out_ref,    # (1, TH*Wp, O) int8
+    xwin,       # VMEM scratch ((TH+K-1)*Wp + 8, Ci4)
+    dma_sem,
+    *,
+    k: int,
+    th: int,
+    wp: int,
+    act: int,
+    out_zp: int,
+):
+    """Space-to-depth conv + 4-phase max on the int32 accumulators + fused
+    epilogue — the stem kernel VERDICT r2 item 1 asked for.
+
+    The 2x2/s2 maxpool that follows a stem conv becomes, in s2d space, an
+    elementwise max over the 4 output-phase channel groups; taking it on the
+    accumulators BEFORE the epilogue is exact (the per-channel epilogue map
+    is monotone nondecreasing and identical across a channel's 4 phases) and
+    runs the VPU epilogue on 1/4 the elements while the 4x-channel conv
+    output never exists outside VMEM — the fusion XLA cannot express
+    (docs/perf.md round 3: a conv may not be duplicated into a multi-use
+    consumer fusion, so the int32 accumulator materializes in HBM).
+    """
+    nn = pl.program_id(0)
+    i = pl.program_id(1)
+    o_out = out_ref.shape[2]
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[nn, pl.ds(i * th * wp, (th + k - 1) * wp + 8)],
+        xwin,
+        dma_sem,
+    )
+    copy.start()
+    copy.wait()
+
+    rows = th * wp
+    acc = jnp.zeros((rows, 4 * o_out), jnp.int32)
+    for dy in range(k):
+        for dx in range(k):
+            xs = xwin[pl.ds(dy * wp + dx, rows), :]
+            acc = acc + lax.dot_general(
+                xs,
+                w_ref[dy, dx, :, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    am = jnp.maximum(
+        jnp.maximum(acc[:, :o_out], acc[:, o_out : 2 * o_out]),
+        jnp.maximum(acc[:, 2 * o_out : 3 * o_out], acc[:, 3 * o_out :]),
+    )
+    v = jnp.round(
+        (am + bias_ref[0, :].reshape(1, o_out)).astype(jnp.float32)
+        * m_ref[0, :].reshape(1, o_out)
+    )
+    if act == ACT_LEAKY:
+        v = jnp.where(v < 0, jnp.round(v * 0.1), v)
+    relu_like = act in (ACT_RELU, ACT_RELU6)
+    lo = max(out_zp - 128, -128) if relu_like else -128
+    v = jnp.clip(v + (out_zp - 128), float(lo), 127.0).astype(jnp.int32).astype(jnp.int8)
+    out_ref[0, :rows, :] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_zp_static", "interpret"),
+)
+def pallas_s2d_conv_phase_max(
+    xs_i8: jax.Array,
+    w_s2d: jax.Array,
+    bias_i32: jax.Array,
+    m: jax.Array,
+    x_zp_i32: jax.Array,
+    *,
+    act: int = ACT_LINEAR,
+    out_zp_static: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused s2d stem stage: 3x3/s1/p1 block conv on the space-to-depth input
+    (convert._s2d_weights layout) + 4-phase max on int32 accumulators +
+    requant epilogue.  Bit-identical to the engine's XLA s2d acc-max path
+    (conv_acc_int32 -> slice max -> requant_activate); covers conv+following
+    2x2/s2 maxpool of the original graph.
+
+    xs_i8: (N, H2, W2, 4C) shifted int8 codes; returns (N, H2, W2, O) int8.
+    """
+    n, h2, w2, ci4 = xs_i8.shape
+    k = w_s2d.shape[0]
+    o_out = w_s2d.shape[3] // 4
+    pad = 1
+    wp = w2 + 2 * pad + (-(w2 + 2 * pad) % 8)
+    right = wp - w2 - pad
+    ci_extra = -ci4 % 128
+
+    th = _row_tile(wp, h2)
+    num_row_tiles = pl.cdiv(h2, th)
+    grid = (n, num_row_tiles)
+
+    bottom = pad + (num_row_tiles * th - h2) + 1
+    x = jnp.pad(
+        xs_i8,
+        ((0, 0), (pad, bottom), (pad, right), (0, 0)),
+        constant_values=x_zp_i32.astype(jnp.int8),
+    )
+    w = w_s2d
+    if ci_extra:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, ci_extra),))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, ci_extra), (0, 0)))
+    hp = x.shape[1]
+    x_flat = x.reshape(n, hp * wp, ci4 + ci_extra)
+
+    kernel = functools.partial(
+        _s2d_phase_kernel, k=k, th=th, wp=wp, act=act, out_zp=out_zp_static,
+    )
+    orows = th * wp
+    orows_p = orows if num_row_tiles == 1 else -(-orows // 8) * 8
+    out_shape = jax.ShapeDtypeStruct((n, num_row_tiles * orows_p, o_out), jnp.int8)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (k, k, ci4 + ci_extra, 4 * o_out), lambda nn, ii: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, o_out), lambda nn, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o_out), lambda nn, ii: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, orows_p, o_out), lambda nn, ii: (nn, ii, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(((th + k - 1) * wp + 8, ci4 + ci_extra), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_flat, w, bias_i32.reshape(1, -1), m.reshape(1, -1))
+    if orows_p != orows:
+        out = out.reshape(n, num_row_tiles, orows_p, o_out)[:, :, :orows]
+        out = out.reshape(n, num_row_tiles * orows, o_out)
+    out = out[:, : h2 * wp, :].reshape(n, h2, wp, o_out)
+    return out[:, :, :w2, :]
