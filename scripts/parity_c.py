@@ -176,9 +176,15 @@ def run_twin(net, wpath, sized_chw, thresh):
     return ckpt, res, yolo_outs
 
 
-def run_engine(net, ckpt, sized_chw, in_scale, in_zp):
+def run_engine(net, ckpt, sized_chw, in_scale, in_zp, dynamic=False):
     """TPU engine with C-matching route semantics; returns per-layer outputs
-    (NHWC) and raw head tensors."""
+    (NHWC) and raw head tensors.
+
+    ``dynamic=True`` exercises the engine's per-image dynamic input
+    quantization (infer/engine.py dynamic_input) instead of baking the C
+    binary's (scale, zp) in statically — the engine then computes them
+    in-graph with the same float32 arithmetic as the reference
+    (src/blas.c:213-256), making tier 2 cover that mode too."""
     import jax
 
     from yolo_quantization_tpu.infer.convert import convert
@@ -191,7 +197,8 @@ def run_engine(net, ckpt, sized_chw, in_scale, in_zp):
     program = convert(net, ckpt.params, qs, route_rescale=False)
     # exact dynamic input qp (convert re-nudges the range; force the C values)
     program.in_scale, program.in_zp = float(in_scale), int(in_zp)
-    fwd = jax.jit(build_forward(program, return_outputs=True))
+    fwd = jax.jit(build_forward(program, return_outputs=True,
+                                dynamic_input=dynamic))
     x = np.ascontiguousarray(sized_chw.transpose(1, 2, 0))[None]
     heads, outputs = fwd(program.arrays, x)
     return (
@@ -207,6 +214,9 @@ def main() -> int:
     ap.add_argument("--thresh", type=float, default=0.25)
     ap.add_argument("--nms", type=float, default=0.45)
     ap.add_argument("--out", default=os.path.join(REPO, "build", "parity"))
+    ap.add_argument("--dynamic", action="store_true",
+                    help="tier 2 uses the engine's per-image dynamic input "
+                         "quantization instead of baked static scale/zp")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -272,8 +282,10 @@ def main() -> int:
 
     # --- TIER 2: the TPU integer engine (rounding epilogue, tolerance-based)
     program, eng_out, eng_heads = run_engine(
-        net, ckpt, sized_chw, twin_res.in_scale, twin_res.in_zp
+        net, ckpt, sized_chw, twin_res.in_scale, twin_res.in_zp,
+        dynamic=args.dynamic,
     )
+    report["tier2_dynamic_input"] = bool(args.dynamic)
     lsb = {}
     for i, y in enumerate(eng_out):
         if i in u8_ref and y.dtype in (np.uint8, np.int8):

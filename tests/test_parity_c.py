@@ -80,3 +80,35 @@ def test_letterbox_matches_reference(parity_report):
     # our darknet-bilinear letterbox vs the reference's (same decode path may
     # differ by libjpeg build — allow tiny float slack)
     assert parity_report["letterbox_max_diff"] < 2e-2
+
+
+@pytest.fixture(scope="module")
+def parity_report_dynamic(tmp_path_factory):
+    """Same pipeline with tier 2 in the engine's dynamic-input mode
+    (--dynamic): the per-image (scale, zp) comes from the engine's in-graph
+    C-f32 arithmetic instead of being baked in (VERDICT r2 item 7)."""
+    if shutil.which("gcc") is None:
+        pytest.skip("no C toolchain")
+    if not os.path.isdir(REF):
+        pytest.skip("reference sources not present")
+    out = tmp_path_factory.mktemp("parity_dyn")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "parity_c.py"),
+         "--out", str(out), "--dynamic"],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, f"no JSON verdict; stdout={proc.stdout[-2000:]} stderr={proc.stderr[-2000:]}"
+    report = json.loads(lines[-1])
+    if report.get("parity") == "skipped":
+        pytest.skip(report.get("reason", "skipped"))
+    return report
+
+
+def test_dynamic_input_mode_holds_parity(parity_report_dynamic):
+    r = parity_report_dynamic
+    assert r["tier2_dynamic_input"] is True
+    lsb = r["tier2_engine_lsb"]
+    worst = max(v["max"] for v in lsb.values())
+    assert worst <= 16, f"dynamic-input engine diverges by {worst} LSB: {lsb}"
+    assert r["tier2_ok"], f"dynamic-input tier-2 parity failed: {r['tier2_f1_counts']}"
