@@ -74,3 +74,42 @@ def run_tp(program, x, n_model: int | None = None):
         x = jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
         heads = jax.jit(fwd)(arrays, x)
         return [np.asarray(h) for h in heads], mesh
+
+
+def make_tp_engine(program, n_model: int | None = None,
+                   n_data: int | None = None, max_det: int = 64):
+    """The serving integration run_tp's docstring promises: the ENGINE's full
+    jitted fn (integer forward + head decode + top-k, exactly what
+    infer/engine.Engine compiles) built with TP-sharded weights AND a
+    data-sharded batch over a ('data','model') mesh.
+
+    Returns (predict, mesh); predict(images) -> (boxes, obj, cls) numpy,
+    bit-identical to the single-device Engine (tests/test_tp.py).
+    """
+    from yolo_quantization_tpu.eval import detect
+    from yolo_quantization_tpu.infer.engine import build_forward
+    from yolo_quantization_tpu.parallel.mesh import make_mesh
+
+    n_devices = len(jax.devices())
+    n_model = n_model or n_devices
+    n_data = n_data or max(n_devices // n_model, 1)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    fwd = build_forward(program)
+    net = program.net
+    arrays = shard_arrays_tp(program.arrays, mesh)
+
+    @jax.jit
+    def run(arrays, x):
+        heads = fwd(arrays, x)
+        b, o, c = detect.decode_all_heads(heads, net)
+        return detect.top_k_detections(b, o, c, max_det)
+
+    def predict(images):
+        with mesh:
+            x = jax.device_put(
+                np.asarray(images, np.float32), NamedSharding(mesh, P("data"))
+            )
+            b, o, c = run(arrays, x)
+        return np.asarray(b), np.asarray(o), np.asarray(c)
+
+    return predict, mesh
