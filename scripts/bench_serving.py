@@ -7,6 +7,15 @@ batch-bucket fill rates.  Prints one JSON line per load point plus a summary
 table for docs/perf.md.
 
 Run on TPU:  python scripts/bench_serving.py [--rates 50,200,1000,4000]
+
+--staged: the dev TPU is reachable only through a ~1.5 MB/s tunnel (measured;
+one 416^2 f32 image is 2 MB), so per-request uploads would swamp every other
+latency term by 100x.  Staged mode runs the real compiled program on a
+pre-staged device batch instead of uploading — the SLO then covers queueing,
+batch forming, host letterbox, device dispatch+execute+top-k fetch, NMS and
+future resolution, i.e. everything a colocated production deployment would
+see except the PCIe/ICI input copy (which at production bandwidth is <0.1 ms
+per image).  Detection CONTENT in staged mode comes from the staged batch.
 """
 
 from __future__ import annotations
@@ -49,12 +58,39 @@ def run_load(server, images, rate_hz: float, duration_s: float):
     return np.asarray(lat), i
 
 
+class _StagedEngine:
+    """See module docstring (--staged).  predict() ignores the uploaded batch
+    and runs the engine's real compiled program on a device-resident one."""
+
+    def __init__(self, engine, batch_size: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.program = engine.program
+        self._engine = engine
+        net = engine.program.net
+        self._staged = jax.jit(
+            lambda k: jax.random.uniform(
+                k, (batch_size, net.height, net.width, 3), jnp.float32
+            )
+        )(jax.random.PRNGKey(0))
+
+    def predict(self, images):
+        boxes, obj, cls = self._engine._run(self._engine.arrays, self._staged)
+        n = len(images)
+        return (
+            np.asarray(boxes)[:n], np.asarray(obj)[:n], np.asarray(cls)[:n],
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rates", default="50,200,800,3000")
     ap.add_argument("--duration", type=float, default=8.0)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--staged", action="store_true",
+                    help="pre-staged device inputs (dev-tunnel workaround)")
     args = ap.parse_args()
 
     from yolo_quantization_tpu.infer.engine import Engine
@@ -63,6 +99,8 @@ def main() -> int:
 
     program = flagship_program()
     engine = Engine(program, max_det=64)
+    if args.staged:
+        engine = _StagedEngine(engine, args.batch_size)
     rng = np.random.default_rng(1)
     # a few distinct input sizes exercise per-request letterboxing
     images = [
