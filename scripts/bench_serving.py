@@ -76,11 +76,18 @@ class _StagedEngine:
         )(jax.random.PRNGKey(0))
 
     def predict(self, images):
-        boxes, obj, cls = self._engine._run(self._engine.arrays, self._staged)
+        return self.predict_async(images)()
+
+    def predict_async(self, images):
         n = len(images)
-        return (
-            np.asarray(boxes)[:n], np.asarray(obj)[:n], np.asarray(cls)[:n],
-        )
+        boxes, obj, cls = self._engine._run(self._engine.arrays, self._staged)
+
+        def resolve():
+            return (
+                np.asarray(boxes)[:n], np.asarray(obj)[:n], np.asarray(cls)[:n],
+            )
+
+        return resolve
 
 
 def main() -> int:

@@ -486,6 +486,28 @@ class Engine:
         boxes, obj, cls = run(self.arrays, jnp.asarray(images))
         return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
 
+    def predict_async(self, images: np.ndarray, flip: bool = False):
+        """Dispatch a batch and return a zero-arg resolver.
+
+        The device call is enqueued asynchronously (JAX dispatch); calling
+        the returned function blocks on the transfer and yields the same
+        (boxes, obj, cls) as predict().  Lets a serving loop overlap the
+        next batch's gathering/dispatch with this batch's device execution
+        and result round trip (infer/serving.py pipelined batching)."""
+        net = self.program.net
+        if images.shape[1:] != (net.height, net.width, net.channels):
+            raise ValueError(
+                f"engine expects {(net.height, net.width, net.channels)} images, "
+                f"got {images.shape[1:]}; letterbox to the network size first"
+            )
+        run = self._run_flip if flip else self._run
+        boxes, obj, cls = run(self.arrays, jnp.asarray(images))
+
+        def resolve():
+            return np.asarray(boxes), np.asarray(obj), np.asarray(cls)
+
+        return resolve
+
     def raw_heads(self, images: np.ndarray):
         heads = self._raw_heads(self.arrays, jnp.asarray(images))
         return [np.asarray(h) for h in heads]

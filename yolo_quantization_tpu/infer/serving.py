@@ -58,6 +58,7 @@ class Server:
         batch_size: int = 16,
         max_delay_ms: float = 5.0,
         preprocess_workers: int = 4,
+        pipeline_depth: int = 2,
     ):
         self.engine = engine
         self.net = engine.program.net
@@ -66,8 +67,18 @@ class Server:
         self._q: queue.Queue[_Request] = queue.Queue()
         self._pre = ThreadPoolExecutor(max_workers=preprocess_workers)
         self._stop = threading.Event()
+        # pipelined continuous batching: the dispatch loop enqueues device
+        # work and hands (requests, resolver) to the resolver thread, so
+        # batch N+1 is gathered and dispatched while batch N's results are
+        # still in flight — without this, the dispatch->fetch round trip
+        # serializes and bounds throughput at ~1/RTT batches/sec regardless
+        # of batch size.  The bounded queue (depth 2) is the backpressure
+        # that keeps device-side queueing shallow.
+        self._inflight: queue.Queue = queue.Queue(maxsize=pipeline_depth)
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
         self._thread.start()
+        self._resolver.start()
         self.stats = {"batches": 0, "images": 0, "batch_fill_sum": 0.0}
 
     def submit(self, image: np.ndarray, thresh: float = 0.5, nms: float = 0.45) -> Future:
@@ -100,13 +111,13 @@ class Server:
             if not reqs:
                 continue
             try:
-                self._run_batch(reqs)
+                self._dispatch_batch(reqs)
             except Exception as e:  # resolve futures with the error
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
 
-    def _run_batch(self, reqs: list[_Request]):
+    def _dispatch_batch(self, reqs: list[_Request]):
         net = self.net
         # parallel host-side letterbox (native C++ when available)
         letterboxed = list(
@@ -116,7 +127,34 @@ class Server:
         batch = np.zeros((self.batch_size, net.height, net.width, 3), np.float32)
         for i, x in enumerate(letterboxed):
             batch[i] = x
-        boxes, obj, cls = self.engine.predict(batch)
+        if hasattr(self.engine, "predict_async"):
+            resolve = self.engine.predict_async(batch)
+        else:
+            out = self.engine.predict(batch)
+            resolve = lambda: out  # noqa: E731 — already-resolved engines
+        while not self._stop.is_set():
+            try:
+                self._inflight.put((reqs, resolve), timeout=0.25)
+                return
+            except queue.Full:
+                continue
+
+    def _resolve_loop(self):
+        while not self._stop.is_set():
+            try:
+                reqs, resolve = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                self._finish_batch(reqs, resolve())
+            except Exception as e:
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _finish_batch(self, reqs: list[_Request], outputs):
+        net = self.net
+        boxes, obj, cls = outputs
         self.stats["batches"] += 1
         self.stats["images"] += len(reqs)
         self.stats["batch_fill_sum"] += len(reqs) / self.batch_size
@@ -141,4 +179,17 @@ class Server:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=2)
-        self._pre.shutdown(wait=False)
+        self._resolver.join(timeout=2)
+        # drain in-flight batches so no future is left unresolved
+        try:
+            while True:
+                reqs, resolve = self._inflight.get_nowait()
+                try:
+                    self._finish_batch(reqs, resolve())
+                except Exception as e:
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+        except queue.Empty:
+            pass
+        self._pre.shutdown(wait=True)
