@@ -32,13 +32,29 @@ import numpy as np
 
 
 def run_load(server, images, rate_hz: float, duration_s: float):
-    """Open-loop Poisson arrivals at rate_hz for duration_s; returns latencies."""
+    """Open-loop Poisson arrivals at rate_hz for duration_s; returns latencies.
+
+    Latency is stamped by a done-callback AT COMPLETION (resolver thread),
+    not when the caller later observes the future — observing sequentially
+    after the load loop would credit early completions with the whole
+    remaining loop time and inflate percentiles by seconds."""
+    import threading
+
     rng = np.random.default_rng(0)
     lat: list[float] = []
+    lock = threading.Lock()
     futures = []
     t_end = time.monotonic() + duration_s
     next_t = time.monotonic()
     i = 0
+
+    def stamp(t0):
+        def cb(_fut):
+            dt = time.monotonic() - t0
+            with lock:
+                lat.append(dt)
+        return cb
+
     while time.monotonic() < t_end:
         now = time.monotonic()
         if now < next_t:
@@ -46,15 +62,12 @@ def run_load(server, images, rate_hz: float, duration_s: float):
             continue
         t0 = time.monotonic()
         fut = server.submit(images[i % len(images)], thresh=0.25)
-        futures.append((t0, fut))
+        fut.add_done_callback(stamp(t0))
+        futures.append(fut)
         i += 1
         next_t += rng.exponential(1.0 / rate_hz)
-    for t0, fut in futures:
+    for fut in futures:
         fut.result(timeout=600)
-        # latency recorded at resolve observation; the future carries no
-        # timestamp, so sample completion time per-future sequentially —
-        # resolved futures return immediately, pending ones measure true wait
-        lat.append(time.monotonic() - t0)
     return np.asarray(lat), i
 
 
