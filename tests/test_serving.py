@@ -48,3 +48,63 @@ class TestServer:
         lo = server.submit(im, thresh=0.0).result(timeout=120)
         hi = server.submit(im, thresh=0.99).result(timeout=120)
         assert len(lo) >= len(hi)
+
+
+class TestBacklogBatching:
+    def test_stale_backlog_forms_full_batches(self):
+        """Requests that queued behind a busy device must coalesce into full
+        batches even though their batching window has long expired (r3 SLO
+        run found fill pinned at 1/16 under backlog — the window deadline was
+        computed from enqueue time, flushing stale singletons)."""
+        import threading
+        import time as _time
+
+        import numpy as np
+
+        from yolo_quantization_tpu.infer import serving
+
+        class SlowStubEngine:
+            """predict_async returns instantly; resolve blocks — models a
+            device whose results are in flight while requests pile up."""
+
+            class _P:
+                net = None
+
+            def __init__(self, net):
+                self.program = type("P", (), {"net": net})()
+                self.release = threading.Event()
+
+            def predict_async(self, images):
+                n = len(images)
+
+                def resolve():
+                    self.release.wait(timeout=30)
+                    _time.sleep(0.05)
+                    boxes = np.zeros((n, 8, 4), np.float32)
+                    obj = np.zeros((n, 8), np.float32)
+                    cls = np.zeros((n, 8, 3), np.float32)
+                    return boxes, obj, cls
+
+                return resolve
+
+        from yolo_quantization_tpu.models.presets import flagship_network
+
+        net = flagship_network(classes=3, size=96)
+        eng = SlowStubEngine(net)
+        server = serving.Server(eng, batch_size=8, max_delay_ms=2.0)
+        try:
+            rng = np.random.default_rng(0)
+            im = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+            futs = [server.submit(im, thresh=0.5) for _ in range(24)]
+            _time.sleep(0.3)  # everything is now a stale backlog
+            eng.release.set()
+            for f in futs:
+                f.result(timeout=60)
+            # 24 requests, bucket 8: a couple of leading singletons are fine
+            # (the pipeline dispatches immediately), but the backlog must
+            # coalesce — without the drain fix this is 24 batches
+            assert server.stats["batches"] <= 6, server.stats
+            assert server.stats["images"] == 24
+        finally:
+            eng.release.set()
+            server.close()

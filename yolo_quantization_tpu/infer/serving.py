@@ -94,6 +94,17 @@ class Server:
             reqs.append(self._q.get(timeout=0.1))
         except queue.Empty:
             return reqs
+        # drain the existing backlog non-blockingly FIRST: when requests have
+        # queued behind a busy device, the oldest is already past its window
+        # and the deadline loop below would flush a singleton — degenerating
+        # the server to batch-of-1 exactly when batching matters most (found
+        # by the r3 SLO run: fill pinned at 1/16 under 10x backlog)
+        while len(reqs) < self.batch_size:
+            try:
+                reqs.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        # then wait out the batching window for stragglers
         deadline = reqs[0].enqueue_time + self.max_delay
         while len(reqs) < self.batch_size:
             remaining = deadline - time.monotonic()
