@@ -145,3 +145,39 @@ class TestDynamicEngine:
         prog.cfg[0] = bad
         with pytest.raises(ValueError, match="dynamic_input"):
             build_forward(prog, dynamic_input=True)
+
+
+class TestUint8Input:
+    def test_u8_input_codes_match_f32_path(self, program):
+        """uint8 raw-pixel input == the f32 path within 1 code on the input
+        quantizer, and the engine accepts both dtypes (jit retraces)."""
+        rng = np.random.default_rng(3)
+        u8 = rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+
+        fwd = jax.jit(build_forward(program, return_outputs=True))
+        _, o_u8 = fwd(program.arrays, u8)
+        _, o_f32 = fwd(program.arrays, f32)
+        lay0_u = np.asarray(o_u8[0]).astype(np.int32)
+        lay0_f = np.asarray(o_f32[0]).astype(np.int32)
+        # codes differ on round ties only; conv amplifies a 1-code input
+        # difference by at most sum|w| of the taps it feeds
+        frac = (lay0_u != lay0_f).mean()
+        assert frac < 0.05, frac
+
+    def test_u8_input_dynamic_mode(self, program):
+        rng = np.random.default_rng(4)
+        u8 = rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8)
+        fwd = jax.jit(build_forward(program, dynamic_input=True))
+        heads = fwd(program.arrays, u8)
+        for h in heads:
+            assert np.isfinite(np.asarray(h)).all()
+
+    def test_engine_predict_accepts_u8(self, program):
+        from yolo_quantization_tpu.infer.engine import Engine
+
+        eng = Engine(program, max_det=16)
+        rng = np.random.default_rng(5)
+        u8 = rng.integers(0, 256, (1, 96, 96, 3)).astype(np.uint8)
+        b, o, c = eng.predict(u8)
+        assert b.shape == (1, 16, 4) and np.isfinite(b).all()
