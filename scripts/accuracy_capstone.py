@@ -101,11 +101,12 @@ def render_batch(key, batch: int, size: int):
     return img, truths
 
 
-def build_net():
+def build_net(activation: str = "relu6"):
     from yolo_quantization_tpu.models import zoo
     from yolo_quantization_tpu.nn.graph import YoloSpec
 
-    net = zoo.yolov3_tiny(classes=CLASSES, width=416, height=416)
+    net = zoo.yolov3_tiny(classes=CLASSES, width=416, height=416,
+                          activation=activation)
     # standard darknet-tiny anchors (the zoo ships the NOK cfg's elongated
     # anchors, unmatched by square synthetic boxes — same swap as the CI gate)
     std = ((10, 14), (23, 27), (37, 58), (81, 82), (135, 169), (344, 319))
@@ -177,6 +178,7 @@ def main():
     steps = int(args[0]) if args else 3000
     batch = int(args[1]) if len(args) > 1 else 32
     multiscale = "--no-multiscale" not in sys.argv
+    activation = "leaky" if "--leaky" in sys.argv else "relu6"
     quant_start = steps * 2 // 5
 
     from yolo_quantization_tpu.eval import detect
@@ -185,9 +187,9 @@ def main():
     from yolo_quantization_tpu.infer.engine import Engine
     from yolo_quantization_tpu.infer.float_engine import FloatEngine
 
-    net = build_net()
+    net = build_net(activation)
     print(
-        f"capstone: 416x416 {CLASSES}-class QAT, {steps} steps batch {batch}, "
+        f"capstone: 416x416 {CLASSES}-class {activation} QAT, {steps} steps batch {batch}, "
         f"multiscale={multiscale}, quant_start={quant_start}, "
         f"device={jax.devices()[0]}",
         flush=True,
@@ -227,6 +229,7 @@ def main():
         "metric": "accuracy_capstone_416",
         "config": {
             "size": 416, "classes": CLASSES, "steps": steps, "batch": batch,
+            "activation": activation,
             "multiscale": multiscale, "quant_start_step": quant_start,
             "eval_images": 200, "protocol": "detector f1 sweep 0.1-0.7, NMS "
             "0.1, IoU 0.1 (examples/detector.c:760-876)",
@@ -244,8 +247,9 @@ def main():
         "within_half_point": bool(ibest.f1 >= fbest.f1 - 0.5),
         "device": str(jax.devices()[0]),
     }
+    name = "ACCURACY_r03.json" if activation == "relu6" else f"ACCURACY_r03_{activation}.json"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "ACCURACY_r03.json")
+                        name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)

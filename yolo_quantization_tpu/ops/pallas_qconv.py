@@ -144,12 +144,13 @@ def _qconv_kernel(
         acc = jnp.maximum(acc[:, :, 0], acc[:, :, 1])   # (th/2, wp/2, tco)
         out_rows = (th // 2) * (wp // 2)
         acc = acc.reshape(out_rows, tco)
-    v = jnp.round(
-        (acc + bias_ref[0, :].reshape(1, tco)).astype(jnp.float32)
-        * m_ref[0, :].reshape(1, tco)
-    )
+    vf = (acc + bias_ref[0, :].reshape(1, tco)).astype(jnp.float32) * m_ref[
+        0, :
+    ].reshape(1, tco)
     if act == ACT_LEAKY:
-        v = jnp.where(v < 0, jnp.round(v * 0.1), v)
+        # slope before the single rounding (qconv.requant_activate deviation 8)
+        vf = jnp.where(vf < 0, vf * jnp.float32(0.1), vf)
+    v = jnp.round(vf)
     # relu/relu6 fold into the clamp (exact; see qconv.requant_activate)
     relu_like = act in (ACT_RELU, ACT_RELU6)
     # Mosaic has no f32->u8/i8 cast; round-trip through int32 (clip keeps range)
@@ -336,12 +337,12 @@ def _s2d_phase_kernel(
         jnp.maximum(acc[:, :o_out], acc[:, o_out : 2 * o_out]),
         jnp.maximum(acc[:, 2 * o_out : 3 * o_out], acc[:, 3 * o_out :]),
     )
-    v = jnp.round(
-        (am + bias_ref[0, :].reshape(1, o_out)).astype(jnp.float32)
-        * m_ref[0, :].reshape(1, o_out)
-    )
+    vf = (am + bias_ref[0, :].reshape(1, o_out)).astype(jnp.float32) * m_ref[
+        0, :
+    ].reshape(1, o_out)
     if act == ACT_LEAKY:
-        v = jnp.where(v < 0, jnp.round(v * 0.1), v)
+        vf = jnp.where(vf < 0, vf * jnp.float32(0.1), vf)
+    v = jnp.round(vf)
     relu_like = act in (ACT_RELU, ACT_RELU6)
     lo = max(out_zp - 128, -128) if relu_like else -128
     v = jnp.clip(v + (out_zp - 128), float(lo), 127.0).astype(jnp.int32).astype(jnp.int8)

@@ -140,9 +140,16 @@ def requant_activate(
 
     Matches the reference epilogue (src/convolutional_layer.c:726-750):
       v = round((acc + bias) * M[o])       # M = S1*S2[o]/S3
-      leaky: v<0 -> round(0.1*v)           # 0.1-slope in the quantized domain
+      leaky: 0.1-slope in the quantized domain, SINGLE-rounded (deviation 8)
       relu/relu6: v<=0 -> 0                # upper clamp comes from uint8 saturation
       out = clamp(v + zp_out, 0, 255)
+
+    Leaky deviation: the reference double-rounds the negative branch
+    (round(0.1*round(v)), src/convolutional_layer.c:737), which QAT's
+    fake-quant does not model — measured 1.6 F1 loss at the 416 capstone on
+    a leaky graph.  Here the slope applies BEFORE the single rounding
+    (round(0.1*v_real)), matching what QAT simulates; the C-exact
+    double-rounded form lives in parity/ctwin.py for byte-parity work.
 
     ``out_i8`` emits the same codes shifted by -128 as int8 — the engine's
     internal representation, which keeps activations in the MXU-native signed
@@ -154,11 +161,12 @@ def requant_activate(
     """
     b = bias_i32.reshape(1, 1, 1, -1) if bias_i32.ndim == 1 else bias_i32[:, None, None, :]
     mm = m.reshape(1, 1, 1, -1) if m.ndim == 1 else m[:, None, None, :]
-    v = jnp.round((acc + b).astype(jnp.float32) * mm)
+    vf = (acc + b).astype(jnp.float32) * mm
     if act == ACT_LEAKY:
-        v = jnp.where(v < 0, jnp.round(v * 0.1), v)
+        vf = jnp.where(vf < 0, vf * jnp.float32(0.1), vf)
     elif act not in (ACT_RELU, ACT_RELU6, ACT_LINEAR):
         raise ValueError(f"unsupported quantized activation code {act}")
+    v = jnp.round(vf)
     # relu/relu6 fold into the clamp: max(v,0)+zp clipped == clip(v+zp, zp, hi)
     # — exact, and two fewer VPU ops on the epilogue (which is the measured
     # bound on the large early layers, docs/perf.md)
