@@ -145,3 +145,28 @@ class TestF1Harness:
         out = recall_eval(engine, mini_dataset, max_images=2)
         assert set(out) == {"recall", "avg_iou", "proposals_per_image", "total_truths"}
         assert out["total_truths"] == 2
+
+
+class TestApproxTopK:
+    def test_approx_topk_engine_mode(self):
+        """approx_max_k prefilter: valid output shapes, and the confident
+        detections (high objectness) survive vs the exact engine."""
+        import numpy as np
+
+        from yolo_quantization_tpu.infer.engine import Engine
+        from yolo_quantization_tpu.models.presets import flagship_program
+
+        program = flagship_program(classes=3, size=96)
+        rng = np.random.default_rng(6)
+        x = rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+        exact = Engine(program, max_det=32)
+        approx = Engine(program, max_det=32, approx_topk=True)
+        be, oe, _ = exact.predict(x)
+        ba, oa, _ = approx.predict(x)
+        assert ba.shape == be.shape
+        # every exact detection clearly above noise must appear in the
+        # approx set (recall_target 0.97 applies to the tail, not the head)
+        for n in range(len(x)):
+            strong = oe[n][oe[n] > oe[n].max() * 0.9]
+            for v in strong:
+                assert np.isclose(oa[n], v, atol=1e-6).any()

@@ -438,9 +438,11 @@ class Engine:
 
     def __init__(self, program: IntProgram, max_det: int = 256,
                  use_pallas: bool = False, carrier: str = "int8",
-                 use_s2d: bool = False, dynamic_input: bool = False):
+                 use_s2d: bool = False, dynamic_input: bool = False,
+                 approx_topk: bool = False):
         self.program = program
         self.max_det = max_det
+        self.approx_topk = approx_topk
         self.use_pallas = use_pallas
         self.carrier = carrier
         self.arrays = jax.device_put(program.arrays)
@@ -452,7 +454,9 @@ class Engine:
         def _run(arrays, x):
             heads = fwd(arrays, x)
             boxes, obj, cls = detect.decode_all_heads(heads, net)
-            return detect.top_k_detections(boxes, obj, cls, self.max_det)
+            return detect.top_k_detections(
+                boxes, obj, cls, self.max_det, approx=approx_topk
+            )
 
         self._run = _run
         self._raw_heads = jax.jit(fwd)
