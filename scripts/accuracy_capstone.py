@@ -201,6 +201,24 @@ def main():
     params = jax.tree.map(np.asarray, state.params)
     qs = jax.tree.map(np.asarray, state.quant_state)
 
+    # QAT-SIMULATED eval: the fake-quant graph training actually optimized.
+    # If this matches the int engine, the engine is faithful and any gap to
+    # float is the quantization itself; if it matches float, the engine
+    # diverges from the simulation (a bug).
+    from yolo_quantization_tpu.nn.graph import ForwardMode, forward
+
+    @jax.jit
+    def qat_run(p, x):
+        heads, _ = forward(net, p, x, ForwardMode(train=False, qat=True), qs)
+        b, o, c = detect.decode_all_heads(heads, net)
+        return detect.top_k_detections(b, o, c, 64)
+
+    qat_cache = eval_engine(qat_run, jax.device_put(params), n_images=200)
+    qrows = f1_rows(qat_cache, verbose=False)
+    qbest = max(qrows, key=lambda r: r.f1)
+    print(f"qat-sim best: thresh {qbest.thresh} R {qbest.recall:.2f} "
+          f"P {qbest.precision:.2f} F1 {qbest.f1:.2f}", flush=True)
+
     fe = FloatEngine(net, params, max_det=64)
     float_cache = eval_engine(fe._run, fe.params, n_images=200)
     frows = f1_rows(float_cache, verbose=True)
@@ -242,6 +260,10 @@ def main():
         "int": {
             "thresh": ibest.thresh, "recall": round(ibest.recall, 2),
             "precision": round(ibest.precision, 2), "f1": round(ibest.f1, 2),
+        },
+        "qat_sim": {
+            "thresh": qbest.thresh, "recall": round(qbest.recall, 2),
+            "precision": round(qbest.precision, 2), "f1": round(qbest.f1, 2),
         },
         "f1_gap": round(fbest.f1 - ibest.f1, 3),
         "within_half_point": bool(ibest.f1 >= fbest.f1 - 0.5),

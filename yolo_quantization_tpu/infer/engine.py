@@ -112,6 +112,18 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
     the TPU analog of the reference's MKL s16s16s32 backend
     (src/convolutional_layer.c:528-605).  Bit-identical outputs; exists for
     capability parity and as an MXU-path cross-check (tests/test_qconv.py).
+
+    ``use_s2d`` rewrites eligible small-channel stem conv+pool pairs to the
+    space-to-depth form with the pool as a phase max on the int32
+    accumulators (bit-identical; measured slower under XLA, docs/perf.md).
+
+    ``dynamic_input`` re-quantizes the input per image at runtime with the
+    reference's float32 arithmetic (src/blas.c:213-256), rebuilding layer
+    0's bias/multiplier from runtime scalars; shapes stay static.
+
+    Inputs may be float32 (letterboxed [0,1] images) or raw uint8 pixel
+    codes — the uint8 path folds /255 into the quantize scale and jit
+    retraces per dtype.
     """
     from yolo_quantization_tpu.nn.graph import MaxPoolSpec, RouteSpec, ShortcutSpec
     from yolo_quantization_tpu.ops.pallas_qconv import pallas_quantized_conv2d
