@@ -140,7 +140,12 @@ def test_both_heads_produce_detections(trained):
     ]).astype(np.float32)
     heads = engine.raw_heads(x)
     assert len(heads) == 2
-    objs = [1.0 / (1.0 + np.exp(-h.reshape(h.shape[0], h.shape[1], h.shape[2], 3, -1)[..., 4]))
+    def _sigmoid(v):
+        # numerically safe: exp overflows f32 for very negative raw logits
+        return np.where(v >= 0, 1.0 / (1.0 + np.exp(-np.abs(v))),
+                        np.exp(-np.abs(v)) / (1.0 + np.exp(-np.abs(v))))
+
+    objs = [_sigmoid(h.reshape(h.shape[0], h.shape[1], h.shape[2], 3, -1)[..., 4])
             for h in heads]
     # each head fires confidently somewhere in the batch
     assert objs[0].max() > 0.5, "coarse head never fires"
