@@ -138,6 +138,18 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
             "reference re-quantizes the image feeding its first conv, "
             "src/blas.c:213-256)"
         )
+    if dynamic_input:
+        # programs serialized before dynamic_input existed lack the raw
+        # per-image rebuild ingredients; fail with a clear message instead of
+        # a KeyError deep inside jit tracing
+        missing = {"bias_f", "wsum_i32", "out_scale_f"} - set(
+            program.arrays.get(0, {})
+        )
+        if missing:
+            raise ValueError(
+                f"program predates dynamic_input support (layer 0 lacks "
+                f"{sorted(missing)}); re-run convert() to regenerate it"
+            )
 
     net = program.net
     cfg = program.cfg
@@ -406,14 +418,54 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                 y = jnp.concatenate(parts, axis=-1)
             elif c.kind in ("shortcut", "shortcut_f32"):
                 qp_x, qp_k = c.in_scales
-                fx = _dequant_i8(x, qp_x[0], qp_x[1]) if x.dtype == jnp.int8 else x
                 skip = outputs[s.index]
-                fk = (
-                    _dequant_i8(skip, qp_k[0], qp_k[1])
-                    if skip.dtype == jnp.int8 else skip
+                int_add = (
+                    c.kind == "shortcut"
+                    and x.dtype == jnp.int8
+                    and skip.dtype == jnp.int8
+                    and s.activation in ("linear", "leaky", "relu", "relu6")
                 )
-                f = L.activate(fx + fk, s.activation)
-                y = _quantize_input(f, c.out_scale, c.out_zp) if c.kind == "shortcut" else f
+                if int_add:
+                    # Integer-domain residual add, single-rounded (the TFLite
+                    # ADD shape) — beyond the reference, whose shortcut is
+                    # float-only and blocks integer yolov3
+                    # (src/shortcut_layer.c:62-67).  Both operands regrid onto
+                    # the output scale with conversion-time ratios, and the
+                    # add + activation + ONE rounding run as a single fused
+                    # VPU expression:
+                    #   q_o = clamp(round(act((q_x-z_x)*ra + (q_k-z_k)*rb))
+                    #               + z_o)
+                    # with ra = s_x/s_o, rb = s_k/s_o static floats.  Matches
+                    # what QAT's fake-quant after the add simulates
+                    # (tests/test_int_shortcut.py); replaces the r3
+                    # dequant -> f32 add -> requant chain.  Leaky/relu commute
+                    # with the positive 1/s_o scaling; relu6's upper clamp
+                    # rescales to 6/s_o.
+                    ra = qp_x[0] / c.out_scale
+                    rb = qp_k[0] / c.out_scale
+                    cst = -(qp_x[1] - 128) * ra - (qp_k[1] - 128) * rb
+                    t = (
+                        x.astype(jnp.float32) * jnp.float32(ra)
+                        + skip.astype(jnp.float32) * jnp.float32(rb)
+                        + jnp.float32(cst)
+                    )
+                    if s.activation == "leaky":
+                        t = jnp.where(t < 0, t * jnp.float32(0.1), t)
+                    elif s.activation == "relu":
+                        t = jnp.maximum(t, 0.0)
+                    elif s.activation == "relu6":
+                        t = jnp.clip(t, 0.0, jnp.float32(6.0 / c.out_scale))
+                    y = jnp.clip(
+                        jnp.round(t) + (c.out_zp - 128), -128, 127
+                    ).astype(jnp.int8)
+                else:
+                    fx = _dequant_i8(x, qp_x[0], qp_x[1]) if x.dtype == jnp.int8 else x
+                    fk = (
+                        _dequant_i8(skip, qp_k[0], qp_k[1])
+                        if skip.dtype == jnp.int8 else skip
+                    )
+                    f = L.activate(fx + fk, s.activation)
+                    y = _quantize_input(f, c.out_scale, c.out_zp) if c.kind == "shortcut" else f
             elif c.kind == "yolo":
                 if x.dtype == jnp.int8:
                     # quantized pre-head conv without quant_stop: the decoder
@@ -495,7 +547,9 @@ class Engine:
                 else:
                     merged.append(h_raw[:n])
             boxes, obj, cls = detect.decode_all_heads(merged, net)
-            return detect.top_k_detections(boxes, obj, cls, self.max_det)
+            return detect.top_k_detections(
+                boxes, obj, cls, self.max_det, approx=approx_topk
+            )
 
         self._run_flip = _run_flip
 

@@ -108,8 +108,11 @@ def yolov3(
 ) -> NetworkDef:
     """Full YOLOv3 (darknet53 + 3-scale heads), topology of darknet yolov3.cfg.
 
-    Shortcut adds stay in the float domain at integer inference, matching the
-    reference's float-only shortcut layer (src/shortcut_layer.c, SURVEY §2.3).
+    Unlike the reference — whose shortcut layer is float-only
+    (src/shortcut_layer.c:62-67) and therefore cannot run yolov3 integer
+    end-to-end — every residual add here is quantized: QAT tracks a range per
+    shortcut output and the engine executes a single-rounded integer-domain
+    add on the learned grid (infer/engine.py shortcut path).
     """
     q = quantized
     head_filters = 3 * (4 + 1 + classes)
