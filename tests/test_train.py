@@ -105,6 +105,9 @@ class TestDataParallel:
         step = make_train_step(tiny_net, cfg, qat=True)
         images = jax.random.uniform(jax.random.PRNGKey(1), (8, 160, 160, 3))
         truths = make_truths(8, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        # the step donates its input TrainState (in-place buffer reuse), so
+        # snapshot params host-side before stepping to compare
+        before = jax.tree.map(np.asarray, state.params)
         with mesh:
             state = pmesh.replicate(mesh, state)
             images, truths = pmesh.shard_batch(mesh, images, truths)
@@ -113,8 +116,8 @@ class TestDataParallel:
         assert int(new_state.step) == 1
         # params changed and are still replicated across devices
         d = jax.tree.map(
-            lambda a, b: float(jnp.abs(a - b).sum()),
-            state.params, new_state.params,
+            lambda a, b: float(np.abs(a - np.asarray(b)).sum()),
+            before, new_state.params,
         )
         assert sum(v for p in d.values() for v in p.values()) > 0
 

@@ -462,6 +462,36 @@ class ForwardMode:
     update_ranges: bool = False  # EMA-update quant ranges (training only)
     symmetric_w: bool = True   # weight fake-quant scheme; must match the
                                # convert(symmetric_weights=...) used at export
+    # conv contraction operand dtype: "float32" (default) or "bfloat16"
+    # (MXU bf16 operands, f32 accumulation/outputs — params stay f32).
+    # Gated on the accuracy capstone staying in-band (docs/perf.md r4).
+    compute_dtype: str = "float32"
+    # activation-range statistic fed to the EMA tracker: "minmax" (reference
+    # src/blas.c:38-42, raw batch extremes) or "percentile" (0.1/99.9th over
+    # a strided subsample) — clips outliers so two-sided leaky ranges get
+    # finer grids; the fake-quant clamp makes training see the same clipping
+    # the integer engine will apply (VERDICT r3 item 4).
+    range_stat: str = "minmax"
+
+
+def _batch_range(y: jax.Array, stat: str) -> tuple[jax.Array, jax.Array]:
+    """Per-batch activation range statistic for the EMA tracker.
+
+    "minmax": raw extremes (reference src/blas.c:38-42).  "percentile":
+    0.1/99.9th percentiles over a strided subsample (bounded sort cost at any
+    resolution) — clips range-inflating outliers so two-sided leaky
+    activations get a finer grid; the fake-quant clamp then makes training
+    see exactly the saturation the integer engine will apply.
+    """
+    if stat == "minmax":
+        return jnp.min(y), jnp.max(y)
+    if stat == "percentile":
+        flat = y.reshape(-1)
+        step = max(flat.shape[0] // 65536, 1)
+        sub = flat[::step].astype(jnp.float32)
+        q = jnp.percentile(sub, jnp.asarray([0.1, 99.9], jnp.float32))
+        return q[0], q[1]
+    raise ValueError(f"unknown range_stat {stat!r}")
 
 
 def _conv_forward(
@@ -480,11 +510,27 @@ def _conv_forward(
     activate, and fake-quant the activation with EMA-tracked ranges.  Here the
     stats conv and the main conv share one XLA-fused graph instead of two
     cublas GEMMs with host round-trips.
+
+    Float-phase fast path: when the weights are NOT fake-quantized,
+    conv(x, w * inv) == conv(x, w) * inv exactly (per-output-channel scaling
+    commutes with the contraction), so the stats conv IS the layer conv —
+    one conv + a per-channel FMA instead of the reference's two GEMMs
+    (src/convolutional_kernels.cu:132-153), halving forward conv FLOPs and
+    the matching backward cost for the whole pre-quant_start phase.
     """
+    quantizing = mode.qat and s.quantized
     bn_stats = None
+    if s.batch_normalize and mode.train and not quantizing:
+        pre = L.conv2d(x, p["w"], s.stride, s.pad, mode.compute_dtype)
+        mean, var = L.batch_stats(pre)
+        bn_stats = (mean, var)
+        inv, bias = L.bn_inference_scale_bias(p["gamma"], p["bias"], mean, var)
+        y = pre * inv.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+        return L.activate(y, s.activation), bn_stats, act_state
+
     if s.batch_normalize:
         if mode.train:
-            pre = L.conv2d(x, p["w"], s.stride, s.pad)
+            pre = L.conv2d(x, p["w"], s.stride, s.pad, mode.compute_dtype)
             mean, var = L.batch_stats(pre)
             bn_stats = (mean, var)
         else:
@@ -495,7 +541,7 @@ def _conv_forward(
     else:
         w_folded, bias = p["w"], p["bias"]
 
-    if mode.qat and s.quantized:
+    if quantizing:
         if mode.symmetric_w:
             w_used = fake_quant_symmetric_per_channel(w_folded)
         else:
@@ -505,14 +551,15 @@ def _conv_forward(
     else:
         w_used = w_folded
 
-    y = L.conv2d(x, w_used, s.stride, s.pad) + bias.reshape(1, 1, 1, -1)
+    y = L.conv2d(x, w_used, s.stride, s.pad, mode.compute_dtype)
+    y = y + bias.reshape(1, 1, 1, -1)
     y = L.activate(y, s.activation)
 
     new_state = act_state
-    if mode.qat and s.quantized and act_state is not None:
+    if quantizing and act_state is not None:
         lo, hi = act_state["min"], act_state["max"]
         if mode.update_ranges:
-            lo, hi = ema_update(lo, hi, jnp.min(y), jnp.max(y))
+            lo, hi = ema_update(lo, hi, *_batch_range(y, mode.range_stat))
             new_state = {"min": lo, "max": hi}
         y = fake_quant(y, lo, hi)
     return y, bn_stats, new_state
@@ -657,7 +704,7 @@ def forward(
                 # float -> quant boundary: fake-quant the input (EMA-tracked)
                 lo, hi = qs[in_key]["min"], qs[in_key]["max"]
                 if mode.update_ranges:
-                    lo, hi = ema_update(lo, hi, jnp.min(x), jnp.max(x))
+                    lo, hi = ema_update(lo, hi, *_batch_range(x, mode.range_stat))
                     qs[in_key] = {"min": lo, "max": hi}
                 x = fake_quant(x, lo, hi)
             key = f"act_{i}"
@@ -678,7 +725,7 @@ def forward(
             if mode.qat and qs is not None and key in qs:
                 lo, hi = qs[key]["min"], qs[key]["max"]
                 if mode.update_ranges:
-                    lo, hi = ema_update(lo, hi, jnp.min(y), jnp.max(y))
+                    lo, hi = ema_update(lo, hi, *_batch_range(y, mode.range_stat))
                     qs[key] = {"min": lo, "max": hi}
                 y = fake_quant(y, lo, hi)
         elif isinstance(s, ShortcutSpec):
@@ -688,7 +735,7 @@ def forward(
             if mode.qat and qs is not None and key in qs:
                 lo, hi = qs[key]["min"], qs[key]["max"]
                 if mode.update_ranges:
-                    lo, hi = ema_update(lo, hi, jnp.min(y), jnp.max(y))
+                    lo, hi = ema_update(lo, hi, *_batch_range(y, mode.range_stat))
                     qs[key] = {"min": lo, "max": hi}
                 y = fake_quant(y, lo, hi)
         elif isinstance(s, YoloSpec):

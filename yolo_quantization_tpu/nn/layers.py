@@ -67,11 +67,28 @@ def activate(x: jax.Array, name: str) -> jax.Array:
     raise ValueError(f"unknown activation {name!r}")
 
 
-def conv2d(x: jax.Array, w: jax.Array, stride: int, pad: int) -> jax.Array:
-    """Plain float conv, NHWC x HWIO -> NHWC, darknet symmetric padding."""
+def conv2d(
+    x: jax.Array, w: jax.Array, stride: int, pad: int,
+    compute_dtype: str | None = None,
+) -> jax.Array:
+    """Plain float conv, NHWC x HWIO -> NHWC, darknet symmetric padding.
+
+    ``compute_dtype="bfloat16"`` feeds the MXU bf16 operands while keeping
+    float32 accumulation and outputs (preferred_element_type) — the training
+    fast path (params/optimizer stay f32; only the contraction narrows).
+    """
+    if compute_dtype in (None, "float32"):
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn
+        )
+    dt = jnp.dtype(compute_dtype)
+    x = x.astype(dt)
+    w = w.astype(dt)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     return lax.conv_general_dilated(
-        x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn
+        x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
     )
 
 

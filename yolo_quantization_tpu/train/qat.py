@@ -63,6 +63,13 @@ class TrainConfig:
     # src/blas_kernels.cu:59-73 GPU; 0.001 is the GPU path's threshold).
     prune: bool = False
     prune_threshold: float = 0.001
+    # conv contraction operand dtype: "float32" or "bfloat16" (MXU bf16
+    # operands, f32 accumulation; params/optimizer stay f32).  bf16 is gated
+    # on the accuracy capstone staying in the ±0.5 F1 band (docs/perf.md r4).
+    compute_dtype: str = "float32"
+    # activation range statistic: "minmax" (reference raw extremes) or
+    # "percentile" (outlier-clipping calibrated ranges, nn/graph._batch_range)
+    range_stat: str = "minmax"
 
 
 class TrainState(NamedTuple):
@@ -209,7 +216,10 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
     functionally; masked out of the gradient.
     """
     tx = make_optimizer(cfg)
-    mode = ForwardMode(train=True, qat=qat, update_ranges=qat)
+    mode = ForwardMode(
+        train=True, qat=qat, update_ranges=qat,
+        compute_dtype=cfg.compute_dtype, range_stat=cfg.range_stat,
+    )
 
     def loss_fn(params, quant_state, images, truths):
         heads, aux = forward(net, params, images, mode, quant_state)
@@ -217,7 +227,11 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
         loss, _ = total_loss(heads, truths, net, input_hw=images.shape[1:3])
         return loss, aux
 
-    @jax.jit
+    # donate the TrainState: params/opt_state/quant_state buffers are
+    # consumed and rewritten every step, so XLA can update them in place
+    # instead of allocating a second copy of the model+optimizer memory
+    # (the input state is invalidated — callers always rebind, Trainer.step)
+    @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, images, truths):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.quant_state, images, truths
