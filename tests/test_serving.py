@@ -50,6 +50,155 @@ class TestServer:
         assert len(lo) >= len(hi)
 
 
+def _rec_engine(net, rec):
+    """Stub engine recording (batch_size, dtype) per dispatch."""
+
+    class RecEngine:
+        def __init__(self):
+            self.program = type("P", (), {"net": net})()
+
+        def predict_async(self, images):
+            n = images.shape[0]
+            rec.append((n, images.dtype.name))
+
+            def resolve():
+                return (
+                    np.zeros((n, 8, 4), np.float32),
+                    np.zeros((n, 8), np.float32),
+                    np.zeros((n, 8, 3), np.float32),
+                )
+
+            return resolve
+
+    return RecEngine()
+
+
+class TestBucketLadder:
+    def test_smallest_bucket_selected(self):
+        from concurrent.futures import Future
+
+        from yolo_quantization_tpu.infer import serving
+        from yolo_quantization_tpu.models.presets import flagship_network
+
+        net = flagship_network(classes=3, size=96)
+        rec = []
+        server = serving.Server(
+            _rec_engine(net, rec), batch_size=(1, 4, 16), max_delay_ms=1.0
+        )
+        try:
+            im = np.random.default_rng(0).uniform(0, 1, (96, 96, 3)).astype(np.float32)
+            server.submit(im, thresh=0.9).result(timeout=30)
+            assert rec[-1][0] == 1  # singleton rides the batch-1 program
+
+            # 3 gathered requests -> the 4-bucket, not 16
+            reqs = [
+                serving._Request(image=im, future=Future(), thresh=0.5, nms=0.5)
+                for _ in range(3)
+            ]
+            server._dispatch_batch(reqs)
+            for r in reqs:
+                r.future.result(timeout=30)
+            assert rec[-1][0] == 4
+            assert server.stats["bucket_hist"][4] >= 1
+            assert server.stats["bucket_hist"][1] >= 1
+        finally:
+            server.close()
+
+    def test_uint8_io_stages_uint8(self):
+        from yolo_quantization_tpu.infer import serving
+        from yolo_quantization_tpu.models.presets import flagship_network
+
+        net = flagship_network(classes=3, size=96)
+        rec = []
+        server = serving.Server(
+            _rec_engine(net, rec), batch_size=(1, 4), max_delay_ms=1.0,
+            uint8_io=True,
+        )
+        try:
+            # uint8 client frame in, uint8 device batch out
+            im8 = np.random.default_rng(1).integers(
+                0, 256, (80, 120, 3), dtype=np.uint8
+            )
+            dets = server.submit(im8, thresh=0.9).result(timeout=30)
+            assert isinstance(dets, list)
+            assert rec[-1] == (1, "uint8")
+        finally:
+            server.close()
+
+    def test_uint8_io_real_engine_smoke(self, rng):
+        engine = Engine(flagship_program(classes=5, size=64), max_det=32)
+        server = Server(engine, batch_size=(1, 4), max_delay_ms=5, uint8_io=True)
+        try:
+            im = rng.uniform(0, 1, (96, 128, 3)).astype(np.float32)
+            dets = server.submit(im, thresh=0.1).result(timeout=120)
+            for d in dets:
+                assert 0 <= d.objectness <= 1
+        finally:
+            server.close()
+
+
+class TestShutdown:
+    def test_close_resolves_all_futures(self):
+        """No submitter is left blocked after close(): in-flight batches
+        resolve, queued-but-undispatched requests get an exception
+        (advisor r3: stop could abandon futures)."""
+        import threading
+        import time as _time
+        from concurrent.futures import Future
+
+        from yolo_quantization_tpu.infer import serving
+        from yolo_quantization_tpu.models.presets import flagship_network
+
+        net = flagship_network(classes=3, size=96)
+        release = threading.Event()
+
+        class BlockEngine:
+            def __init__(self):
+                self.program = type("P", (), {"net": net})()
+
+            def predict_async(self, images):
+                n = images.shape[0]
+
+                def resolve():
+                    release.wait(timeout=30)
+                    return (
+                        np.zeros((n, 8, 4), np.float32),
+                        np.zeros((n, 8), np.float32),
+                        np.zeros((n, 8, 3), np.float32),
+                    )
+
+                return resolve
+
+        server = serving.Server(
+            BlockEngine(), batch_size=2, max_delay_ms=1.0, pipeline_depth=1
+        )
+        im = np.random.default_rng(0).uniform(0, 1, (96, 96, 3)).astype(np.float32)
+        futs = [server.submit(im, thresh=0.5) for _ in range(8)]
+        _time.sleep(0.3)  # pipeline now blocked on the unreleased resolve
+        release.set()
+        server.close()
+        resolved = 0
+        for f in futs:
+            assert f.done()  # nobody is left blocked
+            try:
+                f.result(timeout=1)
+                resolved += 1
+            except RuntimeError as e:
+                # queued-but-never-dispatched requests get the clear error
+                assert "server closed" in str(e)
+        assert resolved >= 2  # the in-flight batch did resolve with results
+
+        # a request sitting in the queue at close time gets a clear error
+        server2 = serving.Server(BlockEngine(), batch_size=2, max_delay_ms=1.0)
+        server2._stop.set()
+        server2._thread.join(timeout=5)
+        orphan = serving._Request(image=im, future=Future(), thresh=0.5, nms=0.5)
+        server2._q.put(orphan)
+        server2.close()
+        with pytest.raises(RuntimeError, match="server closed"):
+            orphan.future.result(timeout=1)
+
+
 class TestBacklogBatching:
     def test_stale_backlog_forms_full_batches(self):
         """Requests that queued behind a busy device must coalesce into full

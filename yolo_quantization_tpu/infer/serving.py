@@ -11,7 +11,15 @@ test loop (examples/detector.c:878-950).  This is the "multi-host streaming /
 continuous image batching" capability called for by BASELINE.json; multi-host
 sharding composes by giving each host its own Server over its local devices
 (data-parallel serving), since YOLO inference is embarrassingly parallel
-across images.
+across images — exercised by tests/test_serving_multihost.py (2 processes,
+identical detections to single-process).
+
+Batching is a bucket LADDER (default {1, 4, 16}): each dispatch runs the
+smallest compiled bucket that holds the gathered requests — the serving twin
+of the reference's set_batch_network(1) single-image path plus its batch
+mode, without padding low-load singletons to the max batch.  ``uint8_io``
+stages frames as uint8 pixel codes into the engine's raw-uint8 input mode
+(4x less host->device transfer per image).
 """
 
 from __future__ import annotations
@@ -55,14 +63,30 @@ class Server:
     def __init__(
         self,
         engine,
-        batch_size: int = 16,
+        batch_size: int | tuple[int, ...] = (1, 4, 16),
         max_delay_ms: float = 5.0,
         preprocess_workers: int = 4,
         pipeline_depth: int = 2,
+        uint8_io: bool = False,
     ):
         self.engine = engine
         self.net = engine.program.net
-        self.batch_size = batch_size
+        # batch bucket ladder: one compiled program per bucket (jit caches by
+        # shape), chosen per dispatch as the smallest bucket holding the
+        # gathered requests — low load rides the batch-1 program instead of
+        # padding 16x (r3 SLO run: fill 0.09 at 20 req/s on a single bucket).
+        # An int keeps the old single-bucket behavior.
+        buckets = (batch_size,) if isinstance(batch_size, int) else tuple(
+            sorted(set(batch_size))
+        )
+        if not buckets or any(b < 1 for b in buckets):
+            raise ValueError(f"invalid batch buckets {buckets}")
+        self.buckets = buckets
+        self.batch_size = buckets[-1]  # gather cap
+        # uint8_io: stage letterboxed frames as uint8 pixel codes (engine's
+        # raw-uint8 input mode, infer/engine.py forward) — 4x less
+        # host->device transfer, exactly where serving transfer matters
+        self.uint8_io = uint8_io
         self.max_delay = max_delay_ms / 1e3
         self._q: queue.Queue[_Request] = queue.Queue()
         self._pre = ThreadPoolExecutor(max_workers=preprocess_workers)
@@ -79,9 +103,15 @@ class Server:
         self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
         self._thread.start()
         self._resolver.start()
-        self.stats = {"batches": 0, "images": 0, "batch_fill_sum": 0.0}
+        self.stats = {
+            "batches": 0, "images": 0, "batch_fill_sum": 0.0, "bucket_hist": {},
+        }
 
     def submit(self, image: np.ndarray, thresh: float = 0.5, nms: float = 0.45) -> Future:
+        if image.dtype == np.uint8:
+            # raw camera/decoder frames: normalize once on the host; the
+            # letterbox path and box correction expect [0,1] floats
+            image = image.astype(np.float32) / np.float32(255.0)
         fut: Future = Future()
         req = _Request(image=image, future=fut, thresh=thresh, nms=nms,
                        enqueue_time=time.monotonic())
@@ -134,41 +164,60 @@ class Server:
         letterboxed = list(
             self._pre.map(lambda r: native.letterbox(r.image, net.width, net.height), reqs)
         )
-        # pad to the fixed bucket so there is exactly one compiled shape
-        batch = np.zeros((self.batch_size, net.height, net.width, 3), np.float32)
-        for i, x in enumerate(letterboxed):
-            batch[i] = x
+        # smallest bucket that fits -> one compiled shape per bucket
+        bucket = next(b for b in self.buckets if b >= len(reqs))
+        if self.uint8_io:
+            batch = np.zeros((bucket, net.height, net.width, 3), np.uint8)
+            for i, x in enumerate(letterboxed):
+                batch[i] = (x * 255.0 + 0.5).astype(np.uint8)
+        else:
+            batch = np.zeros((bucket, net.height, net.width, 3), np.float32)
+            for i, x in enumerate(letterboxed):
+                batch[i] = x
         if hasattr(self.engine, "predict_async"):
             resolve = self.engine.predict_async(batch)
         else:
             out = self.engine.predict(batch)
             resolve = lambda: out  # noqa: E731 — already-resolved engines
-        while not self._stop.is_set():
+        while True:
             try:
-                self._inflight.put((reqs, resolve), timeout=0.25)
+                self._inflight.put((reqs, resolve, bucket), timeout=0.25)
                 return
             except queue.Full:
-                continue
+                if self._stop.is_set():
+                    # shutting down with the pipeline full: resolve inline so
+                    # no submitter is left blocked on an abandoned future
+                    try:
+                        self._finish_batch(reqs, resolve(), bucket)
+                    except Exception as e:
+                        for r in reqs:
+                            if not r.future.done():
+                                r.future.set_exception(e)
+                    return
 
     def _resolve_loop(self):
         while not self._stop.is_set():
             try:
-                reqs, resolve = self._inflight.get(timeout=0.1)
+                reqs, resolve, bucket = self._inflight.get(timeout=0.1)
             except queue.Empty:
                 continue
             try:
-                self._finish_batch(reqs, resolve())
+                self._finish_batch(reqs, resolve(), bucket)
             except Exception as e:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
 
-    def _finish_batch(self, reqs: list[_Request], outputs):
+    def _finish_batch(self, reqs: list[_Request], outputs, bucket: int | None = None):
         net = self.net
         boxes, obj, cls = outputs
+        bucket = bucket or self.batch_size
         self.stats["batches"] += 1
         self.stats["images"] += len(reqs)
-        self.stats["batch_fill_sum"] += len(reqs) / self.batch_size
+        self.stats["batch_fill_sum"] += len(reqs) / bucket
+        self.stats["bucket_hist"][bucket] = (
+            self.stats["bucket_hist"].get(bucket, 0) + 1
+        )
         for i, r in enumerate(reqs):
             h, w, _ = r.image.shape
             b = detect.correct_boxes(boxes[i], w, h, net.width, net.height)
@@ -189,18 +238,31 @@ class Server:
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=2)
-        self._resolver.join(timeout=2)
+        # the dispatch loop's blocking waits are all bounded (gather timeout
+        # 0.1 s, put timeout 0.25 s) and on stop it resolves inline rather
+        # than dropping, so join WITHOUT a cap — a capped join could return
+        # while a batch is still being enqueued, and the drain below would
+        # miss it, leaving submitters blocked (advisor r3 finding)
+        self._thread.join()
+        self._resolver.join(timeout=10)
         # drain in-flight batches so no future is left unresolved
         try:
             while True:
-                reqs, resolve = self._inflight.get_nowait()
+                reqs, resolve, bucket = self._inflight.get_nowait()
                 try:
-                    self._finish_batch(reqs, resolve())
+                    self._finish_batch(reqs, resolve(), bucket)
                 except Exception as e:
                     for r in reqs:
                         if not r.future.done():
                             r.future.set_exception(e)
+        except queue.Empty:
+            pass
+        # fail anything still sitting in the submit queue
+        try:
+            while True:
+                r = self._q.get_nowait()
+                if not r.future.done():
+                    r.future.set_exception(RuntimeError("server closed"))
         except queue.Empty:
             pass
         self._pre.shutdown(wait=True)
