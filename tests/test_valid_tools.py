@@ -132,6 +132,51 @@ class TestWeightsTools:
         for a, b in zip(ref_heads, got_heads):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    def test_normalize_roundtrip(self):
+        """normalize_net (examples/darknet.c:98-122) adds identity BN without
+        changing the function; denormalize_net inverts it back to the
+        original bias/weights (the darknet toolbox round trip)."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_quantization_tpu.nn.graph import ConvSpec, forward
+
+        net = zoo.yolov3_tiny(classes=5, width=64, height=64)
+        params = init_params_numpy(0, net)
+        rng = np.random.default_rng(2)
+        # give the BN-free head convs a real bias so the round trip is tested
+        for i, s in enumerate(net.specs):
+            if isinstance(s, ConvSpec) and not s.batch_normalize:
+                params[i]["bias"] = rng.normal(0, 0.2, params[i]["bias"].shape).astype(
+                    np.float32
+                )
+        before = {i: {k: v.copy() for k, v in p.items()} for i, p in params.items()}
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        ref_heads, _ = forward(net, jax.tree.map(jnp.asarray, params), x)
+
+        net2 = wt.normalize_net(net, params)
+        n_bn_before = sum(
+            1 for s in net.specs if isinstance(s, ConvSpec) and s.batch_normalize
+        )
+        n_bn_after = sum(
+            1 for s in net2.specs if isinstance(s, ConvSpec) and s.batch_normalize
+        )
+        assert n_bn_after > n_bn_before  # head convs gained BN
+        # identity BN: function bit-unchanged
+        got_heads, _ = forward(net2, jax.tree.map(jnp.asarray, params), x)
+        for a, b in zip(ref_heads, got_heads):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # denormalize inverts: bias/weights return to the originals
+        wt.denormalize_net(net2, params)
+        for i in before:
+            np.testing.assert_allclose(
+                params[i]["w"], before[i]["w"], atol=1e-6, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                params[i]["bias"], before[i]["bias"], atol=1e-6, rtol=1e-6
+            )
+
     def test_stats_output(self):
         net = zoo.yolov3_tiny(classes=5, width=64, height=64)
         params = init_params_numpy(0, net)

@@ -436,6 +436,12 @@ def cmd_weights_tool(args):
         wt.rescale_net(net, params, args.scale)
     elif args.op == "denormalize":
         wt.denormalize_net(net, params)
+    elif args.op == "normalize":
+        net = wt.normalize_net(net, params)
+        print(
+            "note: layers gained batch_normalize=1 — load the result with a "
+            "BN-enabled model definition (same caveat as darknet normalize_net)"
+        )
     else:
         raise SystemExit(f"unknown op {args.op}")
     out = args.out or args.weights
@@ -628,13 +634,14 @@ def build_parser():
 
     sp = sub.add_parser(
         "weights-tool",
-        help="weight surgery (print/stats/rgbgr/rescale/denormalize/visualize/mkimg)",
+        help="weight surgery (print/stats/rgbgr/rescale/normalize/denormalize/"
+             "visualize/mkimg)",
     )
     common(sp, weights=False)
     sp.add_argument("--weights", required=True)
     sp.add_argument("--op", required=True,
-                    choices=("print", "stats", "rgbgr", "rescale", "denormalize",
-                             "visualize", "mkimg"))
+                    choices=("print", "stats", "rgbgr", "rescale", "normalize",
+                             "denormalize", "visualize", "mkimg"))
     sp.add_argument("--layer", type=int, default=0,
                     help="conv layer index (visualize: -1 = first conv)")
     sp.add_argument("--scale", type=float, default=1.0)

@@ -43,6 +43,43 @@ def rescale_net(net: NetworkDef, params, scale: float) -> None:
     # darknet rescales biases too via rescale_weights(scale, trans)
 
 
+def normalize_net(net: NetworkDef, params) -> NetworkDef:
+    """Add identity batch-norm to every conv/connected layer that lacks it
+    (examples/darknet.c:98-122 normalize_net + normalize_layer) so a
+    float-trained checkpoint can be fine-tuned WITH batch statistics.
+
+    gamma is seeded as sqrt(var)+eps so gamma/(sqrt(var)+eps) == 1.0 exactly
+    in float32 — the layer's output is bit-unchanged until training updates
+    the stats (the reference callocs rolling stats to 0 and relies on the
+    first forward to fill them; an exact identity is strictly safer).  The
+    conv's bias becomes the BN beta, exactly like darknet reuses l.biases.
+
+    Returns the new NetworkDef (specs are immutable here, unlike darknet's
+    in-place struct edit); ``params`` is updated in place.  Inverse of
+    denormalize_net (round-trip test in tests/test_valid_tools.py).
+    """
+    import dataclasses
+
+    from yolo_quantization_tpu.nn.graph import ConnectedSpec
+
+    new_specs = []
+    for i, s in enumerate(net.specs):
+        if (
+            isinstance(s, (ConvSpec, ConnectedSpec))
+            and not s.batch_normalize
+            and i in params
+        ):
+            n = np.asarray(params[i]["bias"]).shape[0]
+            var = np.ones((n,), np.float32)
+            params[i]["gamma"] = (np.sqrt(var) + np.float32(BN_EPS)).astype(np.float32)
+            params[i]["mean"] = np.zeros((n,), np.float32)
+            params[i]["var"] = var
+            new_specs.append(dataclasses.replace(s, batch_normalize=True))
+        else:
+            new_specs.append(s)
+    return dataclasses.replace(net, specs=tuple(new_specs))
+
+
 def denormalize_net(net: NetworkDef, params) -> None:
     """Fold every conv's BN into its weights and drop the BN stats in place
     (examples/darknet.c:154-186): w' = w*gamma/(sqrt(var)+eps),
