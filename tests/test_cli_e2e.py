@@ -56,11 +56,18 @@ class TestPipeline:
                     ["--program", program]):
             main(["detect", *MODEL, *src, "--image", img, "--thresh", "0.95"])
 
-        # 4. f1 sweep
+        # 4. f1 sweep — native and two non-native eval resolutions (the
+        # reference's resize_network before eval, src/network.c:434)
         main(["f1", *MODEL, "--ckpt", backup,
               "--test-list", str(workspace / "list.txt"), "--max-images", "2"])
         out = capsys.readouterr().out
         assert "thresh 0.1" in out and "best:" in out
+        for size in ("96", "128"):
+            main(["f1", *MODEL, "--ckpt", backup,
+                  "--test-list", str(workspace / "list.txt"),
+                  "--max-images", "2", "--eval-size", size])
+            out = capsys.readouterr().out
+            assert "best:" in out
 
         # 5. weights-tool stats on the exported file
         main(["weights-tool", *MODEL, "--weights", weights, "--op", "stats"])

@@ -270,6 +270,11 @@ def cmd_f1(args):
 
     net, _ = _load_model(args)
     engine = _engine_from(args, net)
+    if args.eval_size:
+        # evaluate at a non-native resolution (the reference's resize_network
+        # before eval, src/network.c:434) — one more cached compile, same
+        # integer program arrays
+        engine = engine.at_size(args.eval_size)
     rows = f1_sweep(
         engine, args.test_list, max_images=args.max_images, verbose=True
     )
@@ -357,6 +362,8 @@ def cmd_valid(args):
 
     net, _ = _load_model(args)
     engine = _engine_from(args, net)
+    if args.eval_size:
+        engine = engine.at_size(args.eval_size)
     class_map = read_map(args.class_map) if args.class_map else None
     if args.names:
         with open(args.names) as f:
@@ -596,6 +603,9 @@ def build_parser():
     sp.add_argument("--test-list", required=True)
     sp.add_argument("--max-images", type=int)
     sp.add_argument("--out", help="append results file (test_quant.txt style)")
+    sp.add_argument("--eval-size", type=int,
+                    help="evaluate at a non-native resolution (multiple of "
+                         "32; the reference's resize_network)")
     sp.set_defaults(fn=cmd_f1)
 
     sp = sub.add_parser("export", help="orbax ckpt -> darknet .weights")
@@ -630,6 +640,8 @@ def build_parser():
     sp.add_argument("--class-map",
                     help="class index map file (reference .data `map=`)")
     sp.add_argument("--max-images", type=int)
+    sp.add_argument("--eval-size", type=int,
+                    help="evaluate at a non-native resolution (multiple of 32)")
     sp.set_defaults(fn=cmd_valid)
 
     sp = sub.add_parser(

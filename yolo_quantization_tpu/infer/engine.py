@@ -503,13 +503,19 @@ class Engine:
     def __init__(self, program: IntProgram, max_det: int = 256,
                  use_pallas: bool = False, carrier: str = "int8",
                  use_s2d: bool = False, dynamic_input: bool = False,
-                 approx_topk: bool = False):
+                 approx_topk: bool = False, arrays=None):
         self.program = program
         self.max_det = max_det
         self.approx_topk = approx_topk
         self.use_pallas = use_pallas
         self.carrier = carrier
-        self.arrays = jax.device_put(program.arrays)
+        self.use_s2d = use_s2d
+        self.dynamic_input = dynamic_input
+        # ``arrays``: already-device-resident program arrays to share (the
+        # at_size resolution cache — re-uploading tens of MB over a slow
+        # link per resolution would defeat the cache)
+        self.arrays = arrays if arrays is not None else jax.device_put(program.arrays)
+        self._size_cache: dict[tuple[int, int], "Engine"] = {}
         fwd = build_forward(program, use_pallas=use_pallas, carrier=carrier,
                             use_s2d=use_s2d, dynamic_input=dynamic_input)
         net = program.net
@@ -552,6 +558,44 @@ class Engine:
             )
 
         self._run_flip = _run_flip
+
+    def at_size(self, height: int, width: int | None = None) -> "Engine":
+        """Per-resolution engine cache — the TPU analog of the reference's
+        whole-net reshape (src/network.c:434 resize_network, used by
+        multi-scale eval).
+
+        The integer program is shape-free (per-channel scales, multipliers
+        and weights carry no spatial dims), so another input resolution is
+        just another compiled program over the SAME device-resident arrays.
+        Each size jit-compiles once and is cached; repeated calls return the
+        identical Engine object (tests/test_multires.py).
+        """
+        width = width or height
+        net = self.program.net
+        if (height, width) == (net.height, net.width):
+            return self
+        if height % 32 or width % 32:
+            raise ValueError(
+                f"input size must be a multiple of 32 (yolo head grids), "
+                f"got {height}x{width}"
+            )
+        key = (height, width)
+        eng = self._size_cache.get(key)
+        if eng is None:
+            import dataclasses
+
+            prog = dataclasses.replace(
+                self.program,
+                net=dataclasses.replace(net, height=height, width=width),
+            )
+            eng = Engine(
+                prog, max_det=self.max_det, use_pallas=self.use_pallas,
+                carrier=self.carrier, use_s2d=self.use_s2d,
+                dynamic_input=self.dynamic_input, approx_topk=self.approx_topk,
+                arrays=self.arrays,
+            )
+            self._size_cache[key] = eng
+        return eng
 
     def predict(self, images: np.ndarray, flip: bool = False):
         """images: (N, H, W, 3) float32 letterboxed to the network size.

@@ -23,12 +23,18 @@ from yolo_quantization_tpu.nn.graph import (
 
 
 class FloatEngine:
-    def __init__(self, net: NetworkDef, params, max_det: int = 256):
+    def __init__(self, net: NetworkDef, params, max_det: int = 256,
+                 _device_params=None):
         self.net = net
         self.max_det = max_det
-        self.params = jax.device_put(
-            {i: {k: np.asarray(v) for k, v in p.items()} for i, p in params.items()}
+        self.params = (
+            _device_params
+            if _device_params is not None
+            else jax.device_put(
+                {i: {k: np.asarray(v) for k, v in p.items()} for i, p in params.items()}
+            )
         )
+        self._size_cache: dict[tuple[int, int], "FloatEngine"] = {}
         head_specs = [s for s in net.specs if isinstance(s, HEAD_SPECS)]
 
         @jax.jit
@@ -70,6 +76,28 @@ class FloatEngine:
             net = self.net
 
         return _P()
+
+    def at_size(self, height: int, width: int | None = None) -> "FloatEngine":
+        """Per-resolution engine cache (see Engine.at_size): the graph is
+        shape-polymorphic, so a resolution is one more cached jit."""
+        width = width or height
+        if (height, width) == (self.net.height, self.net.width):
+            return self
+        if height % 32 or width % 32:
+            raise ValueError(
+                f"input size must be a multiple of 32, got {height}x{width}"
+            )
+        key = (height, width)
+        eng = self._size_cache.get(key)
+        if eng is None:
+            import dataclasses
+
+            net = dataclasses.replace(self.net, height=height, width=width)
+            eng = FloatEngine(
+                net, None, max_det=self.max_det, _device_params=self.params
+            )
+            self._size_cache[key] = eng
+        return eng
 
     def predict(self, images: np.ndarray, flip: bool = False):
         net = self.net
