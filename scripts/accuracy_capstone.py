@@ -48,41 +48,51 @@ PALETTE = jnp.asarray(
     jnp.float32,
 )
 MAX_BOXES = 90
-SLOTS = 4  # 2 large + 2 small per image
+# slot size ranges (relative): tiny exercises both tiny-yolo heads; the v3
+# variant adds a mid pair so all THREE v3 scales get targets
+SLOT_RANGES = {
+    "tiny": ((0.45, 0.72), (0.45, 0.72), (0.09, 0.20), (0.09, 0.20)),
+    "v3": (
+        (0.45, 0.72), (0.45, 0.72),   # coarse head (116-373 px anchors)
+        (0.12, 0.25), (0.12, 0.25),   # mid head (30-119 px anchors)
+        (0.035, 0.075), (0.035, 0.075),  # fine head (10-33 px anchors)
+    ),
+}
 
 
-def render_batch(key, batch: int, size: int):
+def render_batch(key, batch: int, size: int, slots: str = "tiny"):
     """Render a batch on device: noise background + colored class rectangles.
 
-    Slots 0-1 are large boxes (rel 0.45-0.72 -> the coarse head's 135-344 px
-    anchors at 416), slots 2-3 small (rel 0.09-0.2 -> the fine head's
-    23-58 px anchors).  Slots 1 and 3 are present with prob 0.7.  Returns
+    Even slots are always present, odd slots with prob 0.7; slot size ranges
+    target each head's anchor band (SLOT_RANGES).  Returns
     (images (B,S,S,3) f32, truths (B,MAX_BOXES,5) [x,y,w,h,cls])."""
+    ranges = SLOT_RANGES[slots]
+    n_slots = len(ranges)
     kb, kc, kw, kx, kj, kp = jax.random.split(key, 6)
     img = jax.random.uniform(kb, (batch, size, size, 3), jnp.float32, 0.0, 0.22)
-    lo = jnp.asarray([0.45, 0.45, 0.09, 0.09])
-    hi = jnp.asarray([0.72, 0.72, 0.20, 0.20])
-    wh = jax.random.uniform(kw, (batch, SLOTS, 2), jnp.float32) * (
+    lo = jnp.asarray([r[0] for r in ranges])
+    hi = jnp.asarray([r[1] for r in ranges])
+    wh = jax.random.uniform(kw, (batch, n_slots, 2), jnp.float32) * (
         (hi - lo)[None, :, None]
     ) + lo[None, :, None]
     xy = (
-        jax.random.uniform(kx, (batch, SLOTS, 2), jnp.float32)
+        jax.random.uniform(kx, (batch, n_slots, 2), jnp.float32)
         * (1.0 - wh) + wh / 2
     )
-    cls = jax.random.randint(kc, (batch, SLOTS), 0, CLASSES)
+    cls = jax.random.randint(kc, (batch, n_slots), 0, CLASSES)
     present = jnp.concatenate(
         [
-            jnp.ones((batch, 1), bool),
-            jax.random.uniform(kp, (batch, 1)) < 0.7,
-            jnp.ones((batch, 1), bool),
-            jax.random.uniform(jax.random.fold_in(kp, 1), (batch, 1)) < 0.7,
+            jnp.ones((batch, 1), bool)
+            if s % 2 == 0
+            else jax.random.uniform(jax.random.fold_in(kp, s), (batch, 1)) < 0.7
+            for s in range(n_slots)
         ],
         axis=1,
     )
-    jitter = jax.random.uniform(kj, (batch, SLOTS, 1, 1, 3), jnp.float32, -0.06, 0.06)
+    jitter = jax.random.uniform(kj, (batch, n_slots, 1, 1, 3), jnp.float32, -0.06, 0.06)
     yy = jnp.arange(size, dtype=jnp.float32)[None, :, None] / size
     xx = jnp.arange(size, dtype=jnp.float32)[None, None, :] / size
-    for s in range(SLOTS):  # paint larges first so smalls stay visible
+    for s in range(n_slots):  # paint larges first so smalls stay visible
         x0 = (xy[:, s, 0] - wh[:, s, 0] / 2)[:, None, None]
         x1 = (xy[:, s, 0] + wh[:, s, 0] / 2)[:, None, None]
         y0 = (xy[:, s, 1] - wh[:, s, 1] / 2)[:, None, None]
@@ -97,15 +107,21 @@ def render_batch(key, batch: int, size: int):
         [xy, jnp.where(present[..., None], wh, 0.0), cls[..., None].astype(jnp.float32)],
         axis=-1,
     )
-    truths = jnp.pad(truth_rows, ((0, 0), (0, MAX_BOXES - SLOTS), (0, 0)))
+    truths = jnp.pad(truth_rows, ((0, 0), (0, MAX_BOXES - n_slots), (0, 0)))
     return img, truths
 
 
-def build_net(activation: str = "relu6"):
+def build_net(activation: str = "relu6", v3: bool = False, size: int = 416):
     from yolo_quantization_tpu.models import zoo
     from yolo_quantization_tpu.nn.graph import YoloSpec
 
-    net = zoo.yolov3_tiny(classes=CLASSES, width=416, height=416,
+    if v3:
+        # full yolov3: darknet53 residual ladder, 23 quantized shortcuts,
+        # 3-scale heads — the graph the reference cannot run integer
+        # end-to-end (src/shortcut_layer.c:62-67)
+        return zoo.yolov3(classes=CLASSES, width=size, height=size,
+                          activation=activation)
+    net = zoo.yolov3_tiny(classes=CLASSES, width=size, height=size,
                           activation=activation)
     # standard darknet-tiny anchors (the zoo ships the NOK cfg's elongated
     # anchors, unmatched by square synthetic boxes — same swap as the CI gate)
@@ -119,7 +135,9 @@ def build_net(activation: str = "relu6"):
     )
 
 
-def train(net, steps: int, batch: int, multiscale: bool, quant_start: int):
+def train(net, steps: int, batch: int, multiscale: bool, quant_start: int,
+          slots: str = "tiny", base_size: int = 416,
+          range_stat: str = "minmax", compute_dtype: str = "float32"):
     from yolo_quantization_tpu.train.qat import (
         TrainConfig,
         init_train_state,
@@ -129,18 +147,23 @@ def train(net, steps: int, batch: int, multiscale: bool, quant_start: int):
     cfg = TrainConfig(
         learning_rate=1e-3, burn_in=50, batch_size=batch,
         quant_start_step=quant_start, max_batches=steps,
+        range_stat=range_stat, compute_dtype=compute_dtype,
     )
     state = init_train_state(net, cfg, jax.random.PRNGKey(3))
     fstep = make_train_step(net, cfg, qat=False)
     qstep = make_train_step(net, cfg, qat=True)
-    gen = jax.jit(render_batch, static_argnames=("batch", "size"))
-    sizes = (320, 416, 512) if multiscale else (416,)
+    gen = jax.jit(render_batch, static_argnames=("batch", "size", "slots"))
+    sizes = (
+        (base_size - 96, base_size, base_size + 96) if multiscale else (base_size,)
+    )
     base = jax.random.PRNGKey(101)
     t0 = time.time()
     metrics = None
     for step in range(steps):
         size = sizes[(step // 10) % len(sizes)]
-        imgs, truths = gen(jax.random.fold_in(base, step), batch=batch, size=size)
+        imgs, truths = gen(
+            jax.random.fold_in(base, step), batch=batch, size=size, slots=slots
+        )
         fn = qstep if step >= quant_start else fstep
         state, metrics = fn(state, imgs, truths)
         if (step + 1) % 100 == 0 or step + 1 == steps:
@@ -154,13 +177,13 @@ def train(net, steps: int, batch: int, multiscale: bool, quant_start: int):
 
 
 def eval_engine(run, params_or_arrays, n_images: int, batch: int = 25,
-                max_det: int = 64):
+                max_det: int = 64, slots: str = "tiny", size: int = 416):
     """Device-side eval: render fixed seeded images, run, fetch only top-k."""
-    gen = jax.jit(render_batch, static_argnames=("batch", "size"))
+    gen = jax.jit(render_batch, static_argnames=("batch", "size", "slots"))
     cache = []
     for bi in range(n_images // batch):
         key = jax.random.fold_in(jax.random.PRNGKey(777), bi)
-        imgs, truths = gen(key, batch=batch, size=416)
+        imgs, truths = gen(key, batch=batch, size=size, slots=slots)
         boxes, obj, cls = run(params_or_arrays, imgs)
         boxes, obj = np.asarray(boxes), np.asarray(obj)
         tr = np.asarray(truths)
@@ -179,6 +202,18 @@ def main():
     batch = int(args[1]) if len(args) > 1 else 32
     multiscale = "--no-multiscale" not in sys.argv
     activation = "leaky" if "--leaky" in sys.argv else "relu6"
+    v3 = "--v3" in sys.argv
+    size = 416
+    for a in sys.argv[1:]:
+        if a.startswith("--base-size="):
+            size = int(a.split("=", 1)[1])
+    range_stat = "percentile" if "--percentile" in sys.argv else "minmax"
+    compute_dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+    slots = "v3" if v3 else "tiny"
+    n_eval = 200
+    for a in sys.argv[1:]:
+        if a.startswith("--eval-images="):
+            n_eval = int(a.split("=", 1)[1])
     quant_start = steps * 2 // 5
 
     from yolo_quantization_tpu.eval import detect
@@ -187,15 +222,19 @@ def main():
     from yolo_quantization_tpu.infer.engine import Engine
     from yolo_quantization_tpu.infer.float_engine import FloatEngine
 
-    net = build_net(activation)
+    net = build_net(activation, v3=v3, size=size)
     print(
-        f"capstone: 416x416 {CLASSES}-class {activation} QAT, {steps} steps batch {batch}, "
+        f"capstone: {'yolov3-full' if v3 else 'yolov3-tiny'} {size}x{size} "
+        f"{CLASSES}-class {activation} QAT, {steps} steps batch {batch}, "
         f"multiscale={multiscale}, quant_start={quant_start}, "
+        f"range_stat={range_stat}, compute_dtype={compute_dtype}, "
         f"device={jax.devices()[0]}",
         flush=True,
     )
     t0 = time.time()
-    state = train(net, steps, batch, multiscale, quant_start)
+    state = train(net, steps, batch, multiscale, quant_start, slots=slots,
+                  base_size=size, range_stat=range_stat,
+                  compute_dtype=compute_dtype)
     train_s = time.time() - t0
 
     params = jax.tree.map(np.asarray, state.params)
@@ -213,14 +252,16 @@ def main():
         b, o, c = detect.decode_all_heads(heads, net)
         return detect.top_k_detections(b, o, c, 64)
 
-    qat_cache = eval_engine(qat_run, jax.device_put(params), n_images=200)
+    qat_cache = eval_engine(qat_run, jax.device_put(params), n_images=n_eval,
+                            slots=slots, size=size)
     qrows = f1_rows(qat_cache, verbose=False)
     qbest = max(qrows, key=lambda r: r.f1)
     print(f"qat-sim best: thresh {qbest.thresh} R {qbest.recall:.2f} "
           f"P {qbest.precision:.2f} F1 {qbest.f1:.2f}", flush=True)
 
     fe = FloatEngine(net, params, max_det=64)
-    float_cache = eval_engine(fe._run, fe.params, n_images=200)
+    float_cache = eval_engine(fe._run, fe.params, n_images=n_eval, slots=slots,
+                              size=size)
     frows = f1_rows(float_cache, verbose=True)
     fbest = max(frows, key=lambda r: r.f1)
     print(f"float best: thresh {fbest.thresh} R {fbest.recall:.2f} "
@@ -237,19 +278,23 @@ def main():
         b, o, c = detect.decode_all_heads(heads, net)
         return detect.top_k_detections(b, o, c, 64)
 
-    int_cache = eval_engine(int_run, eng.arrays, n_images=200)
+    int_cache = eval_engine(int_run, eng.arrays, n_images=n_eval, slots=slots,
+                            size=size)
     irows = f1_rows(int_cache, verbose=True)
     ibest = max(irows, key=lambda r: r.f1)
     print(f"int best: thresh {ibest.thresh} R {ibest.recall:.2f} "
           f"P {ibest.precision:.2f} F1 {ibest.f1:.2f}", flush=True)
 
     out = {
-        "metric": "accuracy_capstone_416",
+        "metric": f"accuracy_capstone_{'v3_' if v3 else ''}{size}",
         "config": {
-            "size": 416, "classes": CLASSES, "steps": steps, "batch": batch,
+            "model": "yolov3" if v3 else "yolov3-tiny",
+            "size": size, "classes": CLASSES, "steps": steps, "batch": batch,
             "activation": activation,
             "multiscale": multiscale, "quant_start_step": quant_start,
-            "eval_images": 200, "protocol": "detector f1 sweep 0.1-0.7, NMS "
+            "range_stat": range_stat, "compute_dtype": compute_dtype,
+            "quantized_shortcuts": 23 if v3 else 0,
+            "eval_images": n_eval, "protocol": "detector f1 sweep 0.1-0.7, NMS "
             "0.1, IoU 0.1 (examples/detector.c:760-876)",
         },
         "train_seconds": round(train_s, 1),
@@ -266,10 +311,22 @@ def main():
             "precision": round(qbest.precision, 2), "f1": round(qbest.f1, 2),
         },
         "f1_gap": round(fbest.f1 - ibest.f1, 3),
+        "f1_gap_vs_qat_sim": round(qbest.f1 - ibest.f1, 3),
         "within_half_point": bool(ibest.f1 >= fbest.f1 - 0.5),
+        "int_within_half_of_qat_sim": bool(ibest.f1 >= qbest.f1 - 0.5),
         "device": str(jax.devices()[0]),
     }
-    name = "ACCURACY_r03.json" if activation == "relu6" else f"ACCURACY_r03_{activation}.json"
+    parts = ["ACCURACY"]
+    if v3:
+        parts.append("V3")
+    parts.append("r04")
+    if activation != "relu6":
+        parts.append(activation)
+    if range_stat != "minmax":
+        parts.append(range_stat)
+    if compute_dtype != "float32":
+        parts.append("bf16")
+    name = "_".join(parts) + ".json"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         name)
     with open(path, "w") as f:

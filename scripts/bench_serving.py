@@ -73,27 +73,36 @@ def run_load(server, images, rate_hz: float, duration_s: float):
 
 class _StagedEngine:
     """See module docstring (--staged).  predict() ignores the uploaded batch
-    and runs the engine's real compiled program on a device-resident one."""
+    and runs the engine's real compiled program on a device-resident one of
+    the SAME batch size — so the bucket ladder's per-bucket programs (1/4/16)
+    are what actually executes, only the input upload is elided."""
 
-    def __init__(self, engine, batch_size: int):
-        import jax
-        import jax.numpy as jnp
-
+    def __init__(self, engine):
         self.program = engine.program
         self._engine = engine
-        net = engine.program.net
-        self._staged = jax.jit(
-            lambda k: jax.random.uniform(
-                k, (batch_size, net.height, net.width, 3), jnp.float32
-            )
-        )(jax.random.PRNGKey(0))
+        self._staged = {}
+
+    def _batch(self, n: int):
+        if n not in self._staged:
+            import jax
+            import jax.numpy as jnp
+
+            net = self.program.net
+            self._staged[n] = jax.jit(
+                lambda k: jax.random.uniform(
+                    k, (n, net.height, net.width, 3), jnp.float32
+                )
+            )(jax.random.PRNGKey(0))
+        return self._staged[n]
 
     def predict(self, images):
         return self.predict_async(images)()
 
     def predict_async(self, images):
         n = len(images)
-        boxes, obj, cls = self._engine._run(self._engine.arrays, self._staged)
+        boxes, obj, cls = self._engine._run(
+            self._engine.arrays, self._batch(images.shape[0])
+        )
 
         def resolve():
             return (
@@ -107,7 +116,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rates", default="50,200,800,3000")
     ap.add_argument("--duration", type=float, default=8.0)
-    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--buckets", default="1,4,16",
+                    help="batch bucket ladder (one compiled program each)")
+    ap.add_argument("--uint8", action="store_true",
+                    help="stage frames as uint8 codes (engine raw-u8 input)")
     ap.add_argument("--size", type=int, default=416)
     ap.add_argument("--staged", action="store_true",
                     help="pre-staged device inputs (dev-tunnel workaround)")
@@ -117,10 +129,11 @@ def main() -> int:
     from yolo_quantization_tpu.infer.serving import Server
     from yolo_quantization_tpu.models.presets import flagship_program
 
+    buckets = tuple(int(b) for b in args.buckets.split(","))
     program = flagship_program()
     engine = Engine(program, max_det=64)
     if args.staged:
-        engine = _StagedEngine(engine, args.batch_size)
+        engine = _StagedEngine(engine)
     rng = np.random.default_rng(1)
     # a few distinct input sizes exercise per-request letterboxing
     images = [
@@ -131,9 +144,16 @@ def main() -> int:
 
     rows = []
     for rate in [float(r) for r in args.rates.split(",")]:
-        server = Server(engine, batch_size=args.batch_size, max_delay_ms=5.0)
-        # warm the compiled bucket
+        server = Server(
+            engine, batch_size=buckets, max_delay_ms=5.0, uint8_io=args.uint8
+        )
+        # warm every compiled bucket (full-ladder warmup: one singleton, then
+        # bursts that land in each larger bucket)
         server.submit(images[0]).result(timeout=600)
+        for b in buckets[1:]:
+            futs = [server.submit(images[i % 3]) for i in range(b)]
+            for f in futs:
+                f.result(timeout=600)
         lat, n = run_load(server, images, rate, args.duration)
         stats = dict(server.stats)
         server.close()
@@ -148,6 +168,7 @@ def main() -> int:
             "avg_batch_fill": round(
                 stats["batch_fill_sum"] / max(stats["batches"], 1), 3
             ),
+            "bucket_hist": {str(k): v for k, v in sorted(stats["bucket_hist"].items())},
         }
         rows.append(row)
         print(json.dumps(row), flush=True)

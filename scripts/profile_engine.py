@@ -4,7 +4,11 @@ per-fusion time breakdown (VERDICT r1 item 3: find the single-chip bound).
 Runs the engine at the given batch under jax.profiler, then parses the
 XPlane protobuf for TPU op durations, aggregating by HLO fusion name.
 
-Usage: python scripts/profile_engine.py [batch] [--pallas]
+Usage: python scripts/profile_engine.py [batch] [--pallas] [--v3]
+
+--v3 profiles the full yolov3 graph (quantized shortcuts) instead of the
+flagship tiny — the r4 deliverable: the per-fusion table naming where the
+61.6-GMAC graph's device time goes (VERDICT r3 item 2).
 """
 
 from __future__ import annotations
@@ -21,12 +25,23 @@ import jax
 import jax.numpy as jnp
 
 
-def capture(batch: int, use_pallas: bool, logdir: str) -> None:
+def capture(batch: int, use_pallas: bool, logdir: str, v3: bool = False) -> None:
     from yolo_quantization_tpu.eval import detect
     from yolo_quantization_tpu.infer.engine import build_forward
     from yolo_quantization_tpu.models.presets import flagship_program
 
-    program = flagship_program()
+    if v3:
+        from yolo_quantization_tpu.infer.convert import convert
+        from yolo_quantization_tpu.models import zoo
+        from yolo_quantization_tpu.models.presets import synthetic_quant_state
+        from yolo_quantization_tpu.nn.graph import init_params_numpy
+
+        net_v3 = zoo.yolov3(classes=80, width=416, height=416)
+        program = convert(
+            net_v3, init_params_numpy(0, net_v3), synthetic_quant_state(net_v3)
+        )
+    else:
+        program = flagship_program()
     fwd = build_forward(program, use_pallas=use_pallas)
     arrays = jax.device_put(program.arrays)
     net = program.net
@@ -78,10 +93,12 @@ def parse_xplane(logdir: str, min_frac: float = 0.002):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    v3 = "--v3" in sys.argv
+    batch = int(args[0]) if args else (64 if v3 else 128)
     use_pallas = "--pallas" in sys.argv
-    logdir = f"/tmp/yoloq_trace_{'pl' if use_pallas else 'xla'}"
-    capture(batch, use_pallas, logdir)
+    logdir = f"/tmp/yoloq_trace_{'v3_' if v3 else ''}{'pl' if use_pallas else 'xla'}"
+    capture(batch, use_pallas, logdir, v3=v3)
     per_op, total = parse_xplane(logdir)
     if not per_op:
         print("no XLA Ops events found; planes may be named differently")
