@@ -73,9 +73,13 @@ def conv2d(
 ) -> jax.Array:
     """Plain float conv, NHWC x HWIO -> NHWC, darknet symmetric padding.
 
-    ``compute_dtype="bfloat16"`` feeds the MXU bf16 operands while keeping
-    float32 accumulation and outputs (preferred_element_type) — the training
-    fast path (params/optimizer stay f32; only the contraction narrows).
+    ``compute_dtype="bfloat16"`` runs the contraction with bf16 operands —
+    the training fast path (params/optimizer stay f32; the MXU still
+    accumulates bf16 products in f32 internally, the output rounds through
+    bf16 once).  The plain-cast form keeps autodiff happy: the conv
+    transpose rule sees matching dtypes, unlike a mixed-dtype
+    preferred_element_type conv whose cotangent is f32 against bf16
+    operands.
     """
     if compute_dtype in (None, "float32"):
         dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
@@ -86,10 +90,10 @@ def conv2d(
     x = x.astype(dt)
     w = w.astype(dt)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    return lax.conv_general_dilated(
-        x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+    out = lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn
     )
+    return out.astype(jnp.float32)
 
 
 def bn_inference_scale_bias(gamma, beta, mean, var):
