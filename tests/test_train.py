@@ -247,3 +247,75 @@ class TestLRPolicies:
         assert all(0.0 <= v <= 0.1 for v in vals)
         assert len(set(round(v, 9) for v in vals)) > 10  # actually random
         assert vals == [float(lr(jnp.int32(s))) for s in range(20)]  # replayable
+
+
+class TestR4TrainingOptions:
+    def test_bf16_compute_matches_f32_closely(self):
+        """bf16 conv operands (TrainConfig.compute_dtype) must track the f32
+        step: same finite loss within bf16 noise, params still f32."""
+        net = zoo.yolov3_tiny(classes=3, width=96, height=96)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        losses = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = TrainConfig(burn_in=0, quant_start_step=0, compute_dtype=dt)
+            state = init_train_state(net, cfg, jax.random.PRNGKey(0))
+            step = make_train_step(net, cfg, qat=True)
+            state, m = step(state, imgs, truths)
+            losses[dt] = float(m["loss"])
+            for leaf in jax.tree.leaves(state.params):
+                assert leaf.dtype == jnp.float32  # params stay f32
+        assert np.isfinite(losses["bfloat16"])
+        assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=0.02)
+
+    def test_percentile_ranges_clip_outliers(self):
+        """range_stat='percentile' must learn a much tighter activation range
+        than raw min/max when the batch carries a single huge outlier."""
+        from yolo_quantization_tpu.nn.graph import _batch_range
+
+        y = jnp.concatenate([
+            jax.random.uniform(jax.random.PRNGKey(0), (100_000,), minval=-1.0, maxval=1.0),
+            jnp.asarray([1000.0, -1000.0]),
+        ])
+        lo_m, hi_m = _batch_range(y, "minmax")
+        lo_p, hi_p = _batch_range(y, "percentile")
+        assert float(hi_m) == 1000.0 and float(lo_m) == -1000.0
+        assert float(hi_p) < 2.0 and float(lo_p) > -2.0
+
+    def test_percentile_qat_step_runs(self):
+        net = zoo.yolov3_tiny(classes=3, width=96, height=96)
+        cfg = TrainConfig(burn_in=0, quant_start_step=0, range_stat="percentile")
+        state = init_train_state(net, cfg, jax.random.PRNGKey(0))
+        step = make_train_step(net, cfg, qat=True)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        state, m = step(state, imgs, truths)
+        assert np.isfinite(float(m["loss"]))
+        # tracked ranges updated away from the unseen state
+        st = jax.tree.map(np.asarray, state.quant_state)
+        assert any(abs(float(v["max"])) > 0 for k, v in st.items() if k.startswith("act_"))
+
+    def test_float_phase_fused_bn_matches_two_conv_form(self):
+        """The float-phase fast path (stats conv IS the layer conv) must be
+        numerically equivalent to folding BN into the weights and re-running
+        the conv (conv(x, w*inv) == conv(x, w)*inv)."""
+        from yolo_quantization_tpu.nn import layers as L
+        from yolo_quantization_tpu.nn.graph import ConvSpec, _conv_forward
+
+        s = ConvSpec(filters=8, size=3, pad=1, activation="leaky")
+        rng = np.random.default_rng(0)
+        p = {
+            "w": jnp.asarray(rng.normal(0, 0.1, (3, 3, 4, 8)).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(0, 0.1, 8).astype(np.float32)),
+            "gamma": jnp.asarray(rng.uniform(0.5, 1.5, 8).astype(np.float32)),
+            "mean": jnp.zeros(8), "var": jnp.ones(8),
+        }
+        x = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 4)).astype(np.float32))
+        y_fast, stats, _ = _conv_forward(
+            s, p, x, ForwardMode(train=True), None
+        )
+        # reference form: fold with the SAME batch stats, then conv
+        mean, var = stats
+        w_f, b_f = L.fold_bn_into_weights(p["w"], None, p["gamma"], p["bias"], mean, var)
+        y_ref = L.activate(L.conv2d(x, w_f, 1, 1) + b_f.reshape(1, 1, 1, -1), "leaky")
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=2e-5)
