@@ -207,7 +207,12 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--base-size="):
             size = int(a.split("=", 1)[1])
-    range_stat = "percentile" if "--percentile" in sys.argv else "minmax"
+    range_stat = "minmax"
+    for a in sys.argv[1:]:
+        if a == "--percentile":
+            range_stat = "percentile"
+        elif a.startswith("--percentile="):
+            range_stat = "percentile:" + a.split("=", 1)[1]
     compute_dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
     slots = "v3" if v3 else "tiny"
     n_eval = 200
@@ -323,7 +328,7 @@ def main():
     if activation != "relu6":
         parts.append(activation)
     if range_stat != "minmax":
-        parts.append(range_stat)
+        parts.append(range_stat.replace(":", "-"))
     if compute_dtype != "float32":
         parts.append("bf16")
     name = "_".join(parts) + ".json"

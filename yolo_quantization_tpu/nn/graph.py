@@ -485,11 +485,14 @@ def _batch_range(y: jax.Array, stat: str) -> tuple[jax.Array, jax.Array]:
     """
     if stat == "minmax":
         return jnp.min(y), jnp.max(y)
-    if stat == "percentile":
+    if stat.startswith("percentile"):
+        # "percentile" clips 0.1% per tail; "percentile:<p>" clips p% (e.g.
+        # "percentile:0.01" = 1-in-10k per tail)
+        tail = float(stat.split(":", 1)[1]) if ":" in stat else 0.1
         flat = y.reshape(-1)
         step = max(flat.shape[0] // 65536, 1)
         sub = flat[::step].astype(jnp.float32)
-        q = jnp.percentile(sub, jnp.asarray([0.1, 99.9], jnp.float32))
+        q = jnp.percentile(sub, jnp.asarray([tail, 100.0 - tail], jnp.float32))
         return q[0], q[1]
     raise ValueError(f"unknown range_stat {stat!r}")
 
@@ -559,7 +562,13 @@ def _conv_forward(
     if quantizing and act_state is not None:
         lo, hi = act_state["min"], act_state["max"]
         if mode.update_ranges:
-            lo, hi = ema_update(lo, hi, *_batch_range(y, mode.range_stat))
+            # quant_stop (head) convs always use raw extremes: a detection
+            # head's strong responses ARE the top percentile — clipping them
+            # caps the very logits that become detections (measured: the
+            # leaky 416 capstone's float F1 collapsed 92->60 when heads were
+            # percentile-clipped, docs/perf.md r4)
+            stat = "minmax" if s.quant_stop else mode.range_stat
+            lo, hi = ema_update(lo, hi, *_batch_range(y, stat))
             new_state = {"min": lo, "max": hi}
         y = fake_quant(y, lo, hi)
     return y, bn_stats, new_state

