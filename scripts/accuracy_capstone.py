@@ -137,7 +137,8 @@ def build_net(activation: str = "relu6", v3: bool = False, size: int = 416):
 
 def train(net, steps: int, batch: int, multiscale: bool, quant_start: int,
           slots: str = "tiny", base_size: int = 416,
-          range_stat: str = "minmax", compute_dtype: str = "float32"):
+          range_stat: str = "minmax", compute_dtype: str = "float32",
+          learned_ranges: bool = False):
     from yolo_quantization_tpu.train.qat import (
         TrainConfig,
         init_train_state,
@@ -148,10 +149,15 @@ def train(net, steps: int, batch: int, multiscale: bool, quant_start: int,
         learning_rate=1e-3, burn_in=50, batch_size=batch,
         quant_start_step=quant_start, max_batches=steps,
         range_stat=range_stat, compute_dtype=compute_dtype,
+        learned_ranges=learned_ranges,
     )
     state = init_train_state(net, cfg, jax.random.PRNGKey(3))
     fstep = make_train_step(net, cfg, qat=False)
     qstep = make_train_step(net, cfg, qat=True)
+    lstep = (
+        make_train_step(net, cfg, qat=True, learned_ranges=True)
+        if learned_ranges else None
+    )
     gen = jax.jit(render_batch, static_argnames=("batch", "size", "slots"))
     sizes = (
         (base_size - 96, base_size, base_size + 96) if multiscale else (base_size,)
@@ -164,7 +170,12 @@ def train(net, steps: int, batch: int, multiscale: bool, quant_start: int,
         imgs, truths = gen(
             jax.random.fold_in(base, step), batch=batch, size=size, slots=slots
         )
-        fn = qstep if step >= quant_start else fstep
+        if step < quant_start:
+            fn = fstep
+        elif lstep is not None and step >= quant_start + cfg.range_warmup:
+            fn = lstep
+        else:
+            fn = qstep
         state, metrics = fn(state, imgs, truths)
         if (step + 1) % 100 == 0 or step + 1 == steps:
             loss = float(metrics["loss"])  # forces the queued chain
@@ -213,6 +224,7 @@ def main():
             range_stat = "percentile"
         elif a.startswith("--percentile="):
             range_stat = "percentile:" + a.split("=", 1)[1]
+    learned = "--learned" in sys.argv
     compute_dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
     slots = "v3" if v3 else "tiny"
     n_eval = 200
@@ -239,7 +251,7 @@ def main():
     t0 = time.time()
     state = train(net, steps, batch, multiscale, quant_start, slots=slots,
                   base_size=size, range_stat=range_stat,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype, learned_ranges=learned)
     train_s = time.time() - t0
 
     params = jax.tree.map(np.asarray, state.params)
@@ -298,6 +310,7 @@ def main():
             "activation": activation,
             "multiscale": multiscale, "quant_start_step": quant_start,
             "range_stat": range_stat, "compute_dtype": compute_dtype,
+            "learned_ranges": learned,
             "quantized_shortcuts": 23 if v3 else 0,
             "eval_images": n_eval, "protocol": "detector f1 sweep 0.1-0.7, NMS "
             "0.1, IoU 0.1 (examples/detector.c:760-876)",
@@ -329,6 +342,8 @@ def main():
         parts.append(activation)
     if range_stat != "minmax":
         parts.append(range_stat.replace(":", "-"))
+    if learned:
+        parts.append("learned")
     if compute_dtype != "float32":
         parts.append("bf16")
     name = "_".join(parts) + ".json"

@@ -319,3 +319,63 @@ class TestR4TrainingOptions:
         w_f, b_f = L.fold_bn_into_weights(p["w"], None, p["gamma"], p["bias"], mean, var)
         y_ref = L.activate(L.conv2d(x, w_f, 1, 1) + b_f.reshape(1, 1, 1, -1), "leaky")
         np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=2e-5)
+
+
+class TestLearnedRanges:
+    def test_fake_quant_learned_gradients(self):
+        """TF FakeQuantWithMinMaxVars gradient semantics: in-range passes to
+        x; clamped-below accumulates into d/dmin, clamped-above into d/dmax."""
+        from yolo_quantization_tpu.core.quant import fake_quant_learned
+
+        x = jnp.asarray([-5.0, 0.5, 2.0, 9.0, 12.0])
+        lo, hi = jnp.float32(-2.0), jnp.float32(8.0)
+
+        def f(x, lo, hi):
+            return jnp.sum(fake_quant_learned(x, lo, hi) * jnp.asarray([1., 2., 3., 4., 5.]))
+
+        gx, glo, ghi = jax.grad(f, argnums=(0, 1, 2))(x, lo, hi)
+        np.testing.assert_allclose(np.asarray(gx), [0., 2., 3., 0., 0.])
+        assert float(glo) == 1.0       # the below-range element's weight
+        assert float(ghi) == 4.0 + 5.0  # the two above-range weights
+
+    def test_learned_step_moves_ranges_by_sign_sgd(self):
+        net = zoo.yolov3_tiny(classes=3, width=96, height=96)
+        cfg = TrainConfig(burn_in=0, quant_start_step=0, learned_ranges=True,
+                          range_warmup=0, range_lr=0.01)
+        state = init_train_state(net, cfg, jax.random.PRNGKey(0))
+        # seed ranges (fresh zeros would nudge to scale 1)
+        ema = make_train_step(net, cfg, qat=True)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3))
+        truths = make_truths(2, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        state, _ = ema(state, imgs, truths)
+        seeded = jax.tree.map(np.asarray, state.quant_state)
+
+        lstep = make_train_step(net, cfg, qat=True, learned_ranges=True)
+        state, m = lstep(state, imgs, truths)
+        assert np.isfinite(float(m["loss"]))
+        moved = jax.tree.map(np.asarray, state.quant_state)
+        deltas = [
+            abs(float(moved[k][kk]) - float(seeded[k][kk]))
+            for k in seeded for kk in ("min", "max")
+        ]
+        # every range moved by at most range_lr (sign-SGD), some moved
+        assert max(deltas) <= cfg.range_lr + 1e-6
+        assert sum(d > 0 for d in deltas) > 0
+        # clamp invariants: min <= 0, max >= 1e-3
+        for k, st in moved.items():
+            assert float(st["min"]) <= 0.0
+            assert float(st["max"]) >= 1e-3
+
+    def test_trainer_three_phase_plan(self):
+        net = zoo.yolov3_tiny(classes=3, width=96, height=96)
+        cfg = TrainConfig(burn_in=0, quant_start_step=1, learned_ranges=True,
+                          range_warmup=1)
+        trainer = Trainer(net, cfg, key=jax.random.PRNGKey(0))
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3))
+        truths = make_truths(1, [(0.5, 0.5, 0.4, 0.4, 0.0)])
+        trainer.step(imgs, truths)  # float phase
+        assert trainer._learned_step is None
+        trainer.step(imgs, truths)  # EMA warmup phase
+        assert trainer._learned_step is None
+        trainer.step(imgs, truths)  # learned phase begins
+        assert trainer._learned_step is not None

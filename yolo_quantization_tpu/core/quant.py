@@ -197,6 +197,46 @@ def _fq_sym_bwd(_, g):
 fake_quant_symmetric_per_channel.defvjp(_fq_sym_fwd, _fq_sym_bwd)
 
 
+@jax.custom_vjp
+def fake_quant_learned(x: jax.Array, min_val: jax.Array, max_val: jax.Array) -> jax.Array:
+    """fake_quant with GRADIENTS to the range — learnable quantization ranges.
+
+    Forward is identical to fake_quant (nudged uint8 grid).  Backward follows
+    TF's FakeQuantWithMinMaxVarsGradient: upstream gradients pass to x inside
+    the clamp range; gradients landing on clamped-below elements accumulate
+    into d/d(min), clamped-above into d/d(max).  Training then moves the
+    range to trade clipping error against grid coarseness ON THE TASK LOSS —
+    the remedy class the EMA statistics (minmax / percentile) cannot
+    express.  Used by TrainConfig.learned_ranges after an EMA warmup seeds
+    the ranges (nn/graph.py, train/qat.py).
+    """
+    out, _ = _fq_learned_fwd(x, min_val, max_val)
+    return out
+
+
+def _fq_learned_fwd(x, min_val, max_val):
+    qp = nudge_min_max(min_val, max_val)
+    nudged_min = (QUANT_MIN - qp.zero_point).astype(jnp.float32) * qp.scale
+    nudged_max = (QUANT_MAX - qp.zero_point).astype(jnp.float32) * qp.scale
+    clamped = jnp.clip(x, nudged_min, nudged_max)
+    q = jnp.round((clamped - nudged_min) / qp.scale)
+    out = q * qp.scale + nudged_min
+    below = x < nudged_min
+    above = x > nudged_max
+    return out, (below, above)
+
+
+def _fq_learned_bwd(res, g):
+    below, above = res
+    gx = jnp.where(below | above, 0.0, g)
+    gmin = jnp.sum(jnp.where(below, g, 0.0))
+    gmax = jnp.sum(jnp.where(above, g, 0.0))
+    return gx, gmin, gmax
+
+
+fake_quant_learned.defvjp(_fq_learned_fwd, _fq_learned_bwd)
+
+
 # ---------------------------------------------------------------------------
 # EMA range tracking (activation statistics during QAT).
 # ---------------------------------------------------------------------------

@@ -70,6 +70,14 @@ class TrainConfig:
     # activation range statistic: "minmax" (reference raw extremes) or
     # "percentile" (outlier-clipping calibrated ranges, nn/graph._batch_range)
     range_stat: str = "minmax"
+    # learnable ranges (beyond reference): after `range_warmup` EMA-seeded QAT
+    # steps, fake-quant passes gradients to min/max (TF
+    # FakeQuantWithMinMaxVars semantics) and the step moves each range by
+    # sign-SGD (±range_lr per step — scale-free: the raw gradients are sums
+    # over clamped elements whose magnitude varies with tensor size)
+    learned_ranges: bool = False
+    range_lr: float = 0.01
+    range_warmup: int = 200
 
 
 class TrainState(NamedTuple):
@@ -208,17 +216,22 @@ def init_train_state(net: NetworkDef, cfg: TrainConfig, key) -> TrainState:
     )
 
 
-def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
-    """Build the jitted step for one phase (float warmup or QAT).
+def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool,
+                    learned_ranges: bool = False):
+    """Build the jitted step for one phase (float warmup / EMA-QAT /
+    learned-range QAT).
 
     Returns step(state, images, truths) -> (state, metrics).  Non-trainable
     state (BN rolling stats via bn_stats aux, EMA quant ranges) is threaded
-    functionally; masked out of the gradient.
+    functionally; masked out of the gradient.  With ``learned_ranges`` the
+    quant ranges ARE differentiated (fake_quant_learned) and move by
+    sign-SGD each step instead of EMA tracking.
     """
     tx = make_optimizer(cfg)
     mode = ForwardMode(
-        train=True, qat=qat, update_ranges=qat,
+        train=True, qat=qat, update_ranges=qat and not learned_ranges,
         compute_dtype=cfg.compute_dtype, range_stat=cfg.range_stat,
+        learned_ranges=learned_ranges,
     )
 
     def loss_fn(params, quant_state, images, truths):
@@ -233,9 +246,14 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
     # (the input state is invalidated — callers always rebind, Trainer.step)
     @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, images, truths):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.quant_state, images, truths
-        )
+        if learned_ranges:
+            (loss, aux), (grads, qgrads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, state.quant_state, images, truths)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.quant_state, images, truths
+            )
         params, opt_state = state.params, state.opt_state
         sparsity = None
         if cfg.prune:
@@ -250,7 +268,21 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool):
             params[i]["var"] = (
                 BN_ROLLING_DECAY * params[i]["var"] + (1 - BN_ROLLING_DECAY) * var
             )
-        quant_state = aux["quant_state"] if qat else state.quant_state
+        if learned_ranges:
+            # sign-SGD with nudge-compatible clamps: min stays <= 0,
+            # max stays >= a small positive floor (degenerate-scale guard)
+            def upd(k, r, g):
+                v = r - jnp.float32(cfg.range_lr) * jnp.sign(g)
+                return (
+                    jnp.minimum(v, 0.0) if k == "min" else jnp.maximum(v, 1e-3)
+                )
+
+            quant_state = {
+                name: {k: upd(k, r, qgrads[name][k]) for k, r in st.items()}
+                for name, st in state.quant_state.items()
+            }
+        else:
+            quant_state = aux["quant_state"] if qat else state.quant_state
         new_state = TrainState(params, opt_state, quant_state, state.step + 1)
         metrics = {"loss": loss, "lr": lr_schedule(cfg)(state.step)}
         if sparsity is not None:
@@ -280,13 +312,24 @@ class Trainer:
         self.state = init_train_state(net, cfg, key if key is not None else jax.random.PRNGKey(0))
         self._float_step = make_train_step(net, cfg, qat=False)
         self._qat_step = make_train_step(net, cfg, qat=True)
+        self._learned_step = None  # built lazily (extra compile)
 
     def step(self, images, truths):
-        fn = (
-            self._qat_step
-            if int(self.state.step) >= self.cfg.quant_start_step
-            else self._float_step
-        )
+        step_i = int(self.state.step)
+        if step_i < self.cfg.quant_start_step:
+            fn = self._float_step
+        elif (
+            self.cfg.learned_ranges
+            and step_i >= self.cfg.quant_start_step + self.cfg.range_warmup
+        ):
+            # third phase: EMA-seeded ranges now move on the task gradient
+            if self._learned_step is None:
+                self._learned_step = make_train_step(
+                    self.net, self.cfg, qat=True, learned_ranges=True
+                )
+            fn = self._learned_step
+        else:
+            fn = self._qat_step
         self.state, metrics = fn(self.state, images, truths)
         return metrics
 
