@@ -239,3 +239,49 @@ def test_dequantized_close_to_float_conv(rng):
     clipped = np.clip(ref, (0 - case["zp_out"]) * case["s_out"],
                       (255 - case["zp_out"]) * case["s_out"])
     assert np.abs(deq - clipped).max() < tol
+
+
+class TestExactLeaky:
+    def test_double_round_matches_c_semantics(self):
+        """exact_leaky reproduces the reference's double-rounded leaky
+        (round(0.1*round(v)), src/convolutional_layer.c:737; numpy twin
+        parity/ctwin.py:315-316) — the byte-parity opt-in the default
+        single-rounded epilogue deviates from (deviation 8)."""
+        import jax.numpy as jnp
+
+        from yolo_quantization_tpu.ops.qconv import ACT_LEAKY, requant_activate
+
+        rng = np.random.default_rng(0)
+        acc = jnp.asarray(rng.integers(-20000, 20000, (1, 4, 4, 8)), jnp.int32)
+        bias = jnp.asarray(rng.integers(-500, 500, 8), jnp.int32)
+        m = jnp.asarray(rng.uniform(0.001, 0.02, 8).astype(np.float32))
+        zp = jnp.int32(77)
+
+        got = np.asarray(
+            requant_activate(acc, bias, m, zp, ACT_LEAKY, exact_leaky=True)
+        )
+
+        # independent numpy transcription of the C arithmetic
+        v = np.asarray(acc) + np.asarray(bias).reshape(1, 1, 1, -1)
+        vf = v.astype(np.float32) * np.asarray(m).reshape(1, 1, 1, -1)
+        v1 = np.round(vf)  # the requant round
+        neg = np.round(v1 * np.float32(0.1))
+        out = np.where(v1 < 0, neg, v1) + 77
+        want = np.clip(out, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_single_vs_double_round_differ_by_at_most_one(self):
+        import jax.numpy as jnp
+
+        from yolo_quantization_tpu.ops.qconv import ACT_LEAKY, requant_activate
+
+        rng = np.random.default_rng(1)
+        acc = jnp.asarray(rng.integers(-20000, 0, (1, 8, 8, 4)), jnp.int32)
+        bias = jnp.zeros(4, jnp.int32)
+        m = jnp.full(4, 0.01, jnp.float32)
+        zp = jnp.int32(128)
+        a = np.asarray(requant_activate(acc, bias, m, zp, ACT_LEAKY)).astype(int)
+        b = np.asarray(
+            requant_activate(acc, bias, m, zp, ACT_LEAKY, exact_leaky=True)
+        ).astype(int)
+        assert np.abs(a - b).max() <= 1

@@ -93,7 +93,7 @@ def _dequant_i8(x_i8: jax.Array, scale: float, zp: int) -> jax.Array:
 def build_forward(program: IntProgram, use_pallas: bool = False,
                   pallas_interpret: bool = False, return_outputs: bool = False,
                   use_s2d: bool = False, carrier: str = "int8",
-                  dynamic_input: bool = False):
+                  dynamic_input: bool = False, exact_leaky: bool = False):
     """Return a pure fn(arrays, x_f32_nhwc) -> (head_floats, feature_u8s).
 
     ``return_outputs=True`` makes the fn return (heads, per_layer_outputs) —
@@ -132,6 +132,11 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
         # the hand kernel contracts int8 operands only; running it would
         # silently skip the carrier's purpose as an MXU cross-check
         raise ValueError("use_pallas supports carrier='int8' only")
+    if use_pallas and exact_leaky:
+        raise ValueError(
+            "exact_leaky (C double-rounded leaky, a byte-parity mode) is an "
+            "XLA-path option; the Pallas kernel implements the single round"
+        )
     if dynamic_input and program.cfg[0].kind != "qconv":
         raise ValueError(
             "dynamic_input requires a quantized conv as layer 0 (the "
@@ -323,11 +328,13 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                     wk = a["w_i8"].shape
                     bias_dyn, m_dyn = _dyn_bias_m(a, c, wk[0] * wk[1] * wk[2])
                     y = qconv.requant_activate(
-                        accm, bias_dyn, m_dyn, a["out_zp"], c.act, out_i8=True
+                        accm, bias_dyn, m_dyn, a["out_zp"], c.act, out_i8=True,
+                        exact_leaky=exact_leaky,
                     )
                 else:
                     y = qconv.requant_activate(
-                        accm, a["bias_i32"], a["m"], a["out_zp"], c.act, out_i8=True
+                        accm, a["bias_i32"], a["m"], a["out_zp"], c.act,
+                        out_i8=True, exact_leaky=exact_leaky,
                     )
                 # outputs[i] is the (unavailable) pre-pool tensor; the plan
                 # guarantees nothing references it (convert checks routes)
@@ -368,7 +375,8 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                     wk = a["w_i8"].shape
                     bias_dyn, m_dyn = _dyn_bias_m(a, c, wk[0] * wk[1] * wk[2])
                     y = qconv.requant_activate(
-                        acc, bias_dyn, m_dyn, a["out_zp"], c.act, out_i8=True
+                        acc, bias_dyn, m_dyn, a["out_zp"], c.act, out_i8=True,
+                        exact_leaky=exact_leaky,
                     )
                 elif use_pallas and _pallas_eligible(i, c):
                     y = pallas_quantized_conv2d(
@@ -382,6 +390,7 @@ def build_forward(program: IntProgram, use_pallas: bool = False,
                         x, a["w_i8"], a["bias_i32"], a["m"], a["x_zp"], a["w_zp"],
                         a["out_zp"], stride=s.stride, pad=s.pad, act=c.act,
                         symmetric=c.symmetric_w, out_i8=True, carrier=carrier,
+                        exact_leaky=exact_leaky,
                     )
                 if c.quant_stop:
                     y = _dequant_i8(y, c.out_scale, c.out_zp)
@@ -503,7 +512,8 @@ class Engine:
     def __init__(self, program: IntProgram, max_det: int = 256,
                  use_pallas: bool = False, carrier: str = "int8",
                  use_s2d: bool = False, dynamic_input: bool = False,
-                 approx_topk: bool = False, arrays=None):
+                 approx_topk: bool = False, arrays=None,
+                 exact_leaky: bool = False):
         self.program = program
         self.max_det = max_det
         self.approx_topk = approx_topk
@@ -511,13 +521,15 @@ class Engine:
         self.carrier = carrier
         self.use_s2d = use_s2d
         self.dynamic_input = dynamic_input
+        self.exact_leaky = exact_leaky
         # ``arrays``: already-device-resident program arrays to share (the
         # at_size resolution cache — re-uploading tens of MB over a slow
         # link per resolution would defeat the cache)
         self.arrays = arrays if arrays is not None else jax.device_put(program.arrays)
         self._size_cache: dict[tuple[int, int], "Engine"] = {}
         fwd = build_forward(program, use_pallas=use_pallas, carrier=carrier,
-                            use_s2d=use_s2d, dynamic_input=dynamic_input)
+                            use_s2d=use_s2d, dynamic_input=dynamic_input,
+                            exact_leaky=exact_leaky)
         net = program.net
 
         @jax.jit
@@ -592,7 +604,7 @@ class Engine:
                 prog, max_det=self.max_det, use_pallas=self.use_pallas,
                 carrier=self.carrier, use_s2d=self.use_s2d,
                 dynamic_input=self.dynamic_input, approx_topk=self.approx_topk,
-                arrays=self.arrays,
+                arrays=self.arrays, exact_leaky=self.exact_leaky,
             )
             self._size_cache[key] = eng
         return eng

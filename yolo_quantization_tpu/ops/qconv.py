@@ -127,7 +127,7 @@ def conv_acc_int32(
     return acc - w_zp_i32.reshape(1, 1, 1, -1) * patchsum
 
 
-@partial(jax.jit, static_argnames=("act", "out_i8"))
+@partial(jax.jit, static_argnames=("act", "out_i8", "exact_leaky"))
 def requant_activate(
     acc: jax.Array,
     bias_i32: jax.Array,
@@ -135,6 +135,7 @@ def requant_activate(
     out_zp: jax.Array,
     act: int,
     out_i8: bool = False,
+    exact_leaky: bool = False,
 ) -> jax.Array:
     """Fused epilogue: bias add, per-channel rescale, quantized activation, clamp.
 
@@ -158,15 +159,25 @@ def requant_activate(
 
     ``bias_i32``/``m`` are per-channel (O,) normally; the engine's dynamic
     input mode passes per-image (N, O) values for the first layer.
+
+    ``exact_leaky`` reproduces the reference's DOUBLE-rounded leaky
+    (round(0.1*round(v)), src/convolutional_layer.c:737) instead of the
+    accuracy-preferred single round — the opt-in for byte-exact leaky
+    parity against the C binary (parity/ctwin.py carries the same form).
     """
     b = bias_i32.reshape(1, 1, 1, -1) if bias_i32.ndim == 1 else bias_i32[:, None, None, :]
     mm = m.reshape(1, 1, 1, -1) if m.ndim == 1 else m[:, None, None, :]
     vf = (acc + b).astype(jnp.float32) * mm
     if act == ACT_LEAKY:
-        vf = jnp.where(vf < 0, vf * jnp.float32(0.1), vf)
-    elif act not in (ACT_RELU, ACT_RELU6, ACT_LINEAR):
+        if exact_leaky:
+            v1 = jnp.round(vf)
+            v = jnp.where(v1 < 0, jnp.round(v1 * jnp.float32(0.1)), v1)
+        else:
+            v = jnp.round(jnp.where(vf < 0, vf * jnp.float32(0.1), vf))
+    elif act in (ACT_RELU, ACT_RELU6, ACT_LINEAR):
+        v = jnp.round(vf)
+    else:
         raise ValueError(f"unsupported quantized activation code {act}")
-    v = jnp.round(vf)
     # relu/relu6 fold into the clamp: max(v,0)+zp clipped == clip(v+zp, zp, hi)
     # — exact, and two fewer VPU ops on the epilogue (which is the measured
     # bound on the large early layers, docs/perf.md)
@@ -181,7 +192,7 @@ def requant_activate(
 
 
 @partial(jax.jit, static_argnames=("stride", "pad", "act", "symmetric", "out_i8",
-                                   "carrier"))
+                                   "carrier", "exact_leaky"))
 def quantized_conv2d(
     x_u8: jax.Array,
     w_i8: jax.Array,
@@ -197,6 +208,7 @@ def quantized_conv2d(
     symmetric: bool = False,
     out_i8: bool = False,
     carrier: str = "int8",
+    exact_leaky: bool = False,
 ) -> jax.Array:
     """Full integer conv layer: uint8 in -> uint8 out.
 
@@ -214,7 +226,9 @@ def quantized_conv2d(
     acc = conv_acc_int32(
         x_i8, w_i8, x_zp_i32, w_zp_i32, stride, pad, symmetric, carrier=carrier
     )
-    return requant_activate(acc, bias_i32, m, out_zp, act, out_i8=out_i8)
+    return requant_activate(
+        acc, bias_i32, m, out_zp, act, out_i8=out_i8, exact_leaky=exact_leaky
+    )
 
 
 def fold_static_bias(bias_f, s_in, s_w, x_zp_i32, w_zp_i32, w_i8):
