@@ -225,13 +225,14 @@ def main():
         elif a.startswith("--percentile="):
             range_stat = "percentile:" + a.split("=", 1)[1]
     learned = "--learned" in sys.argv
+    float_baseline = "--float-baseline" in sys.argv
     compute_dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
     slots = "v3" if v3 else "tiny"
     n_eval = 200
     for a in sys.argv[1:]:
         if a.startswith("--eval-images="):
             n_eval = int(a.split("=", 1)[1])
-    quant_start = steps * 2 // 5
+    quant_start = steps + 1 if float_baseline else steps * 2 // 5
 
     from yolo_quantization_tpu.eval import detect
     from yolo_quantization_tpu.eval.f1 import f1_rows
@@ -256,6 +257,41 @@ def main():
 
     params = jax.tree.map(np.asarray, state.params)
     qs = jax.tree.map(np.asarray, state.quant_state)
+
+    if float_baseline:
+        # pure float training (QAT never activates): the honest comparator
+        # for the QAT capstones' int rows — their "float" row is QAT weights
+        # stripped of the clamps they trained against, not a float model
+        fe = FloatEngine(net, params, max_det=64)
+        fcache = eval_engine(fe._run, fe.params, n_images=n_eval, slots=slots,
+                             size=size)
+        rows = f1_rows(fcache, verbose=True)
+        best = max(rows, key=lambda r: r.f1)
+        print(f"float-baseline best: thresh {best.thresh} R {best.recall:.2f} "
+              f"P {best.precision:.2f} F1 {best.f1:.2f}", flush=True)
+        out = {
+            "metric": f"float_baseline_{'v3_' if v3 else ''}{size}",
+            "config": {
+                "model": "yolov3" if v3 else "yolov3-tiny", "size": size,
+                "classes": CLASSES, "steps": steps, "batch": batch,
+                "activation": activation, "multiscale": multiscale,
+                "eval_images": n_eval,
+            },
+            "train_seconds": round(train_s, 1),
+            "float": {
+                "thresh": best.thresh, "recall": round(best.recall, 2),
+                "precision": round(best.precision, 2), "f1": round(best.f1, 2),
+            },
+            "device": str(jax.devices()[0]),
+        }
+        name = f"FLOATBASE{'_V3' if v3 else ''}_r04.json"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), name
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out), flush=True)
+        return
 
     # QAT-SIMULATED eval: the fake-quant graph training actually optimized.
     # If this matches the int engine, the engine is faithful and any gap to

@@ -62,13 +62,15 @@ def _engine_from(args, net):
             print("running FLOAT inference (no quant ranges or --float given)")
             return FloatEngine(net, params)
         return Engine(convert(net, params, qs), carrier=carrier,
-                      dynamic_input=getattr(args, "dynamic_input", False))
+                      dynamic_input=getattr(args, "dynamic_input", False),
+                      exact_leaky=getattr(args, "exact_leaky", False))
 
     if getattr(args, "program", None):
         from yolo_quantization_tpu.infer.serialize import load_program
 
         return Engine(load_program(args.program), carrier=carrier,
-                      dynamic_input=getattr(args, "dynamic_input", False))
+                      dynamic_input=getattr(args, "dynamic_input", False),
+                      exact_leaky=getattr(args, "exact_leaky", False))
     if args.weights:
         from yolo_quantization_tpu.models.darknet_weights import load_darknet_weights
 
@@ -566,6 +568,11 @@ def build_parser():
                                  "(the reference's MKL s16s16s32 backend, "
                                  "src/convolutional_layer.c:528-605; "
                                  "bit-identical outputs)")
+            sp.add_argument("--exact-leaky", action="store_true",
+                            help="C byte-parity mode: double-rounded "
+                                 "quantized leaky (src/convolutional_layer.c"
+                                 ":737) instead of the QAT-matched single "
+                                 "round")
             sp.add_argument("--dynamic-input", action="store_true",
                             help="re-quantize the input per image at runtime "
                                  "(the reference's per-image preprocessing, "
