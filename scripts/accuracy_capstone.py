@@ -18,8 +18,13 @@ Everything bulk stays on device: the dataset is rendered INSIDE jit from
 PRNG keys (host->device image uploads over the tunneled dev TPU cost minutes
 per batch), and eval fetches only the top-k detections.
 
-Usage: python scripts/accuracy_capstone.py [steps] [batch] [--no-multiscale]
-Writes ACCURACY_r03.json at the repo root.
+Usage: python scripts/accuracy_capstone.py [steps] [batch]
+         [--no-multiscale] [--leaky] [--v3] [--base-size=N]
+         [--percentile[=tail]] [--learned] [--bf16] [--float-baseline]
+         [--eval-images=N]
+Writes ACCURACY*_r04*.json (or FLOATBASE*_r04.json) at the repo root; the
+--v3 variant is the flagship quantized-shortcut validation (VERDICT r3
+item 1).
 """
 
 from __future__ import annotations
