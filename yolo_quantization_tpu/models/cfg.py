@@ -208,6 +208,8 @@ def parse_cfg(text: str, base_dir: str | None = None) -> tuple[NetworkDef, Train
                     sqrt=flag("sqrt", 0),
                     rescore=flag("rescore", 0),
                     softmax=flag("softmax", 0),
+                    forced=flag("forced", 0),
+                    random=flag("random", 0),
                 )
             )
         elif name == "connected":

@@ -217,6 +217,8 @@ class DetectionSpec:
     sqrt: bool = True
     rescore: bool = False  # obj target = IoU instead of 1 (detection_layer.c:166)
     softmax: bool = False  # softmax the class block (detection_layer.c:57-66)
+    forced: bool = False   # predictor by truth size (detection_layer.c:136-142)
+    random: bool = False   # random predictor while seen < 64000 (:143-145)
 
 
 LayerSpec = Any  # union of the above

@@ -174,6 +174,7 @@ def region_head_loss(
     coord_scale: float = 1.0,
     rescore: bool = True,
     tree=None,               # core.tree.HierarchyTree | None (WordTree classes)
+    seen=None,               # traced images-seen counter; enables the 12800 warmup
 ):
     """YOLOv2 [region] loss (src/region_layer.c delta_region_box/forward).
 
@@ -182,9 +183,11 @@ def region_head_loss(
     deltas on activated values.  Squared-error terms reproduce darknet's
     delta*scale semantics: obj target is the predicted-box IoU when rescore
     (the darknet default for v2), 1 otherwise; class deltas are (t - p) on the
-    softmax output.  One deviation: darknet's 12800-seen anchor-prior warmup
-    (region_layer.c "if(*(net.seen) < 12800)") is omitted — it only shapes
-    very early training.
+    softmax output.  With ``seen`` (a traced images-seen counter) the
+    12800-seen anchor-prior warmup is active (region_layer.c:256-263):
+    until 12800 images, EVERY cell/anchor is pulled toward the anchor prior
+    centered in its cell at weight .01 — in this parametrization target
+    x=y=0.5 (activated) and raw tw=th=0 (log(anchor/anchor)).
     """
     b, h, w, _ = out.shape
     a = len(anchors)
@@ -274,6 +277,13 @@ def region_head_loss(
         + jnp.sum(obj_loss)
         + jnp.sum(cls_loss)
     )
+    if seen is not None:
+        warm = (jnp.asarray(seen) < 12800).astype(jnp.float32)
+        prior = 0.5 * 0.01 * (
+            (r[..., 0] - 0.5) ** 2 + (r[..., 1] - 0.5) ** 2
+            + r[..., 2] ** 2 + r[..., 3] ** 2
+        )
+        total = total + warm * jnp.sum(prior)
     stats = {"obj_count": jnp.sum(assigned),
              "avg_obj": jnp.sum(obj * assigned) / jnp.maximum(jnp.sum(assigned), 1)}
     return total, stats
@@ -315,7 +325,8 @@ def encode_detection_truth(
 
 @partial(jax.jit, static_argnames=("classes", "num", "side", "sqrt", "rescore",
                                    "object_scale", "noobject_scale",
-                                   "class_scale", "coord_scale"))
+                                   "class_scale", "coord_scale", "forced",
+                                   "random"))
 def detection_head_loss(
     out: jax.Array,          # (B, S*S*(C + N + N*4)) v1 head forward output
     truth_grid: jax.Array,   # (B, S*S, 1 + C + 4) from encode_detection_truth
@@ -328,6 +339,9 @@ def detection_head_loss(
     noobject_scale: float = 1.0,
     class_scale: float = 1.0,
     coord_scale: float = 1.0,
+    forced: bool = False,
+    random: bool = False,
+    seen=None,               # traced images-seen counter (random override gate)
 ):
     """YOLOv1 [detection] loss (src/detection_layer.c:50-217), vectorized.
 
@@ -337,9 +351,11 @@ def detection_head_loss(
     below has exactly darknet's delta = scale*(t-p) as its gradient.
     Box responsibility: the predictor with best IoU vs truth, falling back to
     lowest box-RMSE when every IoU is zero (detection_layer.c:109-134).
-    The `forced` and early-training `random` predictor overrides
-    (detection_layer.c:136-145) are omitted — both are exploration heuristics
-    that only matter in the first epochs.
+    The `forced` override (detection_layer.c:136-142) picks predictor 1 for
+    small truths (area < .1) and 0 otherwise; the `random` override
+    (detection_layer.c:143-145) assigns a uniform-random predictor while
+    seen < 64000 — reproduced with a counter-based draw (deterministic,
+    resume-stable) instead of the reference's global rand().
     """
     b = out.shape[0]
     s2 = side * side
@@ -364,6 +380,16 @@ def detection_head_loss(
     rmse = jnp.sqrt(jnp.sum((pred - tr) ** 2, axis=-1))
     any_iou = jnp.max(ious, axis=-1) > 0
     best = jnp.where(any_iou, jnp.argmax(ious, axis=-1), jnp.argmin(rmse, axis=-1))
+    if forced:
+        # small objects go to predictor 1, large to 0 (detection_layer.c:136)
+        area = t_box[..., 2] * t_box[..., 3]
+        best = jnp.where(area < 0.1, 1, 0)
+    if random and seen is not None:
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(17), jnp.asarray(seen).astype(jnp.int32)
+        )
+        rand_best = jax.random.randint(key, best.shape, 0, num)
+        best = jnp.where(jnp.asarray(seen) < 64000, rand_best, best)
     best_oh = jax.nn.one_hot(best, num)                   # (B, S2, N)
     best_iou = jnp.take_along_axis(ious, best[..., None], axis=-1)[..., 0]
 
@@ -398,7 +424,8 @@ def detection_head_loss(
     return total, stats
 
 
-def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None):
+def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None,
+               seen=None):
     """Sum of per-head losses over every detection head of a NetworkDef.
 
     ``input_hw`` is the ACTUAL input resolution this batch ran at — under
@@ -422,13 +449,14 @@ def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None):
             )
         elif isinstance(s, RegionSpec):
             l, st = region_head_loss(
-                raw, truths, s.anchors, s.classes, tree=s.tree
+                raw, truths, s.anchors, s.classes, tree=s.tree, seen=seen
             )
         else:
             grid = encode_detection_truth(truths, s.side, s.classes)
             l, st = detection_head_loss(
                 raw, grid, s.classes, s.num, s.side, sqrt=s.sqrt,
-                rescore=s.rescore,
+                rescore=s.rescore, forced=getattr(s, "forced", False),
+                random=getattr(s, "random", False), seen=seen,
             )
         loss = loss + l
         all_stats.append(st)

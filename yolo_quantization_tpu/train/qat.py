@@ -234,10 +234,14 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool,
         learned_ranges=learned_ranges,
     )
 
-    def loss_fn(params, quant_state, images, truths):
+    def loss_fn(params, quant_state, images, truths, seen):
         heads, aux = forward(net, params, images, mode, quant_state)
-        # actual batch resolution (multi-scale aware), static under jit
-        loss, _ = total_loss(heads, truths, net, input_hw=images.shape[1:3])
+        # actual batch resolution (multi-scale aware), static under jit;
+        # ``seen`` (images so far, the reference's net.seen) gates the
+        # region/v1 early-training heuristics in the loss
+        loss, _ = total_loss(
+            heads, truths, net, input_hw=images.shape[1:3], seen=seen
+        )
         return loss, aux
 
     # donate the TrainState: params/opt_state/quant_state buffers are
@@ -246,13 +250,14 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool,
     # (the input state is invalidated — callers always rebind, Trainer.step)
     @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, images, truths):
+        seen = state.step * images.shape[0]
         if learned_ranges:
             (loss, aux), (grads, qgrads) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
-            )(state.params, state.quant_state, images, truths)
+            )(state.params, state.quant_state, images, truths, seen)
         else:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.quant_state, images, truths
+                state.params, state.quant_state, images, truths, seen
             )
         params, opt_state = state.params, state.opt_state
         sparsity = None
