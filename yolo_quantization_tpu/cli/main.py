@@ -330,12 +330,15 @@ def cmd_export(args):
     template = init_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
     state = ckpt.restore_checkpoint(args.ckpt, template)
     qs = state.quant_state if float(state.quant_state["input"]["max"]) != 0 else None
+    # seen is the images-consumed counter (TrainState.seen, darknet net.seen);
+    # older checkpoints without it fall back to the step count
+    seen = int(getattr(state, "seen", state.step))
     save_darknet_weights(
         args.out, net,
         {i: {k: v for k, v in p.items()} for i, p in state.params.items()},
-        qs, seen=int(state.step),
+        qs, seen=seen,
     )
-    print(f"wrote {args.out} (quantized={qs is not None}, seen={int(state.step)})")
+    print(f"wrote {args.out} (quantized={qs is not None}, seen={seen})")
 
 
 def cmd_recall(args):

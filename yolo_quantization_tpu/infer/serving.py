@@ -89,6 +89,11 @@ class Server:
         self.uint8_io = uint8_io
         self.max_delay = max_delay_ms / 1e3
         self._q: queue.Queue[_Request] = queue.Queue()
+        # serializes late submit() against close()'s final queue drain so a
+        # racing submit either lands before the drain or is rejected — never
+        # enqueued after the drain with its future left pending forever
+        self._submit_lock = threading.Lock()
+        self._closed = False
         self._pre = ThreadPoolExecutor(max_workers=preprocess_workers)
         self._stop = threading.Event()
         # pipelined continuous batching: the dispatch loop enqueues device
@@ -115,7 +120,11 @@ class Server:
         fut: Future = Future()
         req = _Request(image=image, future=fut, thresh=thresh, nms=nms,
                        enqueue_time=time.monotonic())
-        self._q.put(req)
+        with self._submit_lock:
+            if self._closed:
+                fut.set_exception(RuntimeError("server closed"))
+            else:
+                self._q.put(req)
         return fut
 
     def _gather_batch(self) -> list[_Request]:
@@ -196,10 +205,15 @@ class Server:
                     return
 
     def _resolve_loop(self):
-        while not self._stop.is_set():
+        # keeps draining after stop until the pipeline is empty, so a batch
+        # mid-resolve (e.g. a cold-bucket compile) finishes before close()'s
+        # unbounded join returns — no future completes after close()
+        while True:
             try:
                 reqs, resolve, bucket = self._inflight.get(timeout=0.1)
             except queue.Empty:
+                if self._stop.is_set():
+                    return
                 continue
             try:
                 self._finish_batch(reqs, resolve(), bucket)
@@ -244,8 +258,13 @@ class Server:
         # while a batch is still being enqueued, and the drain below would
         # miss it, leaving submitters blocked (advisor r3 finding)
         self._thread.join()
-        self._resolver.join(timeout=10)
-        # drain in-flight batches so no future is left unresolved
+        # unbounded like the dispatch join: the resolver only exits once the
+        # pipeline is drained (see _resolve_loop), and a capped join could
+        # return while a cold-compile batch is mid-resolve, leaving its
+        # futures/stats to complete on a daemon thread after close() returns
+        self._resolver.join()
+        # safety net for batches enqueued between the resolver's last empty
+        # check and the dispatch thread's exit
         try:
             while True:
                 reqs, resolve, bucket = self._inflight.get_nowait()
@@ -257,12 +276,15 @@ class Server:
                             r.future.set_exception(e)
         except queue.Empty:
             pass
-        # fail anything still sitting in the submit queue
-        try:
-            while True:
-                r = self._q.get_nowait()
-                if not r.future.done():
-                    r.future.set_exception(RuntimeError("server closed"))
-        except queue.Empty:
-            pass
+        # fail anything still sitting in the submit queue; the lock makes the
+        # closed-flag flip and the drain atomic vs racing submit() calls
+        with self._submit_lock:
+            self._closed = True
+            try:
+                while True:
+                    r = self._q.get_nowait()
+                    if not r.future.done():
+                        r.future.set_exception(RuntimeError("server closed"))
+            except queue.Empty:
+                pass
         self._pre.shutdown(wait=True)

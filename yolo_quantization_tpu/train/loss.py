@@ -283,7 +283,11 @@ def region_head_loss(
             (r[..., 0] - 0.5) ** 2 + (r[..., 1] - 0.5) ** 2
             + r[..., 2] ** 2 + r[..., 3] ** 2
         )
-        total = total + warm * jnp.sum(prior)
+        # the reference writes the prior delta first and then OVERWRITES it
+        # at the truth-assigned anchor's box index (region_layer.c:256-263 then
+        # :282 delta_region_box on the same delta slot) — assigned anchors see
+        # only the truth coord pull, so mask them out of the prior term
+        total = total + warm * jnp.sum(prior * (1.0 - assigned.astype(jnp.float32)))
     stats = {"obj_count": jnp.sum(assigned),
              "avg_obj": jnp.sum(obj * assigned) / jnp.maximum(jnp.sum(assigned), 1)}
     return total, stats
@@ -381,9 +385,12 @@ def detection_head_loss(
     any_iou = jnp.max(ious, axis=-1) > 0
     best = jnp.where(any_iou, jnp.argmax(ious, axis=-1), jnp.argmin(rmse, axis=-1))
     if forced:
-        # small objects go to predictor 1, large to 0 (detection_layer.c:136)
+        # small objects go to predictor 1, large to 0 (detection_layer.c:136).
+        # Clamped to num-1: at num==1 the reference would index out of its own
+        # delta array (latent upstream bug); here the small-object predictor
+        # degenerates to 0 instead of silently zeroing the coord/obj loss
         area = t_box[..., 2] * t_box[..., 3]
-        best = jnp.where(area < 0.1, 1, 0)
+        best = jnp.where(area < 0.1, min(1, num - 1), 0)
     if random and seen is not None:
         key = jax.random.fold_in(
             jax.random.PRNGKey(17), jnp.asarray(seen).astype(jnp.int32)

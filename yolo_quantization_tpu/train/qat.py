@@ -78,6 +78,10 @@ class TrainConfig:
     learned_ranges: bool = False
     range_lr: float = 0.01
     range_warmup: int = 200
+    # donate the input TrainState to the jitted step (in-place buffer reuse,
+    # halves peak param+optimizer memory).  See make_train_step's donation
+    # contract; set False when callers must keep the pre-step state alive.
+    donate_state: bool = True
 
 
 class TrainState(NamedTuple):
@@ -85,6 +89,12 @@ class TrainState(NamedTuple):
     opt_state: Any
     quant_state: Any
     step: jax.Array
+    # images consumed so far — the reference's persistent net.seen counter
+    # (src/network.c:372 `net.seen += net.batch`), carried explicitly instead
+    # of being reconstructed as step*batch so the 12800/64000-image warmup
+    # gates stay correct across resume with a different batch size or future
+    # gradient accumulation (advisor r4)
+    seen: jax.Array = jnp.int32(0)
 
 
 def lr_schedule(cfg: TrainConfig):
@@ -213,6 +223,7 @@ def init_train_state(net: NetworkDef, cfg: TrainConfig, key) -> TrainState:
             net, input_calibration=getattr(cfg, "input_calibration", ())
         ),
         step=jnp.int32(0),
+        seen=jnp.int32(0),
     )
 
 
@@ -244,13 +255,18 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool,
         )
         return loss, aux
 
-    # donate the TrainState: params/opt_state/quant_state buffers are
-    # consumed and rewritten every step, so XLA can update them in place
-    # instead of allocating a second copy of the model+optimizer memory
-    # (the input state is invalidated — callers always rebind, Trainer.step)
-    @partial(jax.jit, donate_argnums=0)
+    # Donation contract: with cfg.donate_state (the default) the input
+    # TrainState's buffers are DONATED — consumed and rewritten in place, so
+    # XLA avoids allocating a second copy of the model+optimizer memory.  The
+    # pre-step state object is invalidated: callers must rebind to the
+    # returned state (Trainer.step does) and must NOT hold the old one for
+    # mid-train checkpointing or before/after comparisons — snapshot with
+    # jax.tree.map(np.asarray, state) BEFORE stepping if needed.  A step that
+    # throws (e.g. OOM on a multiscale retrace) leaves the donated state
+    # unusable; set donate_state=False for recoverable / experimental runs.
+    @partial(jax.jit, donate_argnums=(0,) if cfg.donate_state else ())
     def step(state: TrainState, images, truths):
-        seen = state.step * images.shape[0]
+        seen = state.seen
         if learned_ranges:
             (loss, aux), (grads, qgrads) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
@@ -288,7 +304,10 @@ def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool,
             }
         else:
             quant_state = aux["quant_state"] if qat else state.quant_state
-        new_state = TrainState(params, opt_state, quant_state, state.step + 1)
+        new_state = TrainState(
+            params, opt_state, quant_state, state.step + 1,
+            state.seen + images.shape[0],
+        )
         metrics = {"loss": loss, "lr": lr_schedule(cfg)(state.step)}
         if sparsity is not None:
             metrics["sparsity"] = sparsity
