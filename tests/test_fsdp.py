@@ -86,3 +86,41 @@ class TestFSDP:
         rep = fsdp.shard_report(mesh, state.params)
         # the deep 512/1024-channel convs dominate: most bytes shard
         assert rep["sharded_fraction"] > 0.9, rep
+
+
+class TestFSDPCli:
+    def test_train_fsdp_smoke(self, tmp_path, capsys):
+        """`cli train --fsdp` shards the state, prints the shard report, and
+        completes a short run (the CLI wiring over parallel/fsdp.py)."""
+        from PIL import Image
+
+        from yolo_quantization_tpu.cli.main import main
+
+        (tmp_path / "images").mkdir()
+        (tmp_path / "labels").mkdir()
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(4):
+            im = (rng.uniform(0, 0.2, (96, 96, 3)) * 255).astype(np.uint8)
+            im[24:72, 30:70] = [250, 60, 40]
+            p = tmp_path / "images" / f"img_{i}.jpg"
+            Image.fromarray(im).save(p, quality=95)
+            (tmp_path / "labels" / f"img_{i}.txt").write_text(
+                "1 0.52 0.5 0.42 0.5\n"
+            )
+            paths.append(str(p))
+        (tmp_path / "list.txt").write_text("\n".join(paths) + "\n")
+
+        main([
+            "train", "--model", "yolov3-tiny", "--size", "64",
+            "--classes", "5", "--train-list", str(tmp_path / "list.txt"),
+            "--backup-dir", str(tmp_path / "backup"), "--batch-size", "8",
+            "--max-batches", "2", "--workers", "2", "--quant-start", "0",
+            "--fsdp",
+        ])
+        out = capsys.readouterr().out
+        assert "FSDP over 8 devices" in out, out
+        # the report must show the model genuinely distributed
+        frac = float(out.split("FSDP over 8 devices: ")[1].split("%")[0])
+        assert frac > 50.0, out
+        assert "2: loss" in out, out

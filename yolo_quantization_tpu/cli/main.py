@@ -118,12 +118,28 @@ def cmd_train(args):
 
     ds = DetectionDataset(args.train_list, net.width, net.height, augment=True)
     loader = BatchLoader(ds, tcfg.batch_size, workers=args.workers)
-    mesh = pmesh.make_mesh() if args.data_parallel else None
+    use_mesh = args.data_parallel or getattr(args, "fsdp", False)
+    mesh = pmesh.make_mesh() if use_mesh else None
     print(
         f"training {len(net.specs)}-layer net at {net.width}x{net.height}, "
         f"batch {tcfg.batch_size}, {len(ds)} images, "
         f"{'DP over ' + str(mesh.devices.size) + ' devices' if mesh else 'single device'}"
     )
+    if getattr(args, "fsdp", False):
+        # ZeRO-3-style placement: params + optimizer state shard over the
+        # data axis in place of replication (parallel/fsdp.py); the jitted
+        # step is unchanged.  The report makes silent replication (layers
+        # with channel counts not divisible by the mesh) visible up front.
+        from yolo_quantization_tpu.parallel import fsdp
+
+        trainer.state = fsdp.shard_state(mesh, trainer.state)
+        rep = fsdp.shard_report(mesh, trainer.state.params)
+        print(
+            f"FSDP over {mesh.shape['data']} devices: "
+            f"{rep['sharded_fraction'] * 100:.1f}% of param bytes sharded "
+            f"({rep['sharded_bytes']} sharded / {rep['replicated_bytes']} "
+            f"replicated)"
+        )
     avg_loss = None
     import random as _random
 
@@ -594,6 +610,10 @@ def build_parser():
     sp.add_argument("--multiscale", action="store_true",
                     help="random input resolution in {320..608} every 10 batches")
     sp.add_argument("--data-parallel", action="store_true")
+    sp.add_argument("--fsdp", action="store_true",
+                    help="shard params+optimizer over the data axis "
+                         "(ZeRO-3 style placement, parallel/fsdp.py); "
+                         "prints the sharded-bytes report at startup")
     sp.add_argument("--prune", action="store_true",
                     help="magnitude pruning each update (reference PRUNE build flag)")
     sp.add_argument("--prune-threshold", type=float, default=0.001)
