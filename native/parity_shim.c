@@ -20,11 +20,134 @@
  * Usage: parity_shim <cfg> <weights> <image> <outdir> [thresh] [nms]
  *   nms: "none" (default), "obj:T" (detector f1 protocol, box.c:21-55),
  *        "sort:T" (detector test protocol, box.c:58-88)
+ *
+ * F1 LIST MODE: when <image> ends in ".txt" it is an image LIST and the shim
+ * runs the reference's own detector-f1 protocol (validate_detector_f1,
+ * examples/detector.c:760-876) over it — split quantization preprocessing
+ * (quantization_weights_preprocess once + per-image
+ * quantization_activations_preprocess), get_network_boxes at each threshold
+ * 0.1..0.6, do_nms_obj(classes=1, nms=.1), label lookup via
+ * find_replace(images->labels, .jpg->.txt), and the exact TP/TP_FP/TP_FN
+ * counting (TP_FP = ALL returned boxes incl. NMS-zeroed; TP = truths whose
+ * best IoU among boxes with objectness>thre exceeds .1).  Writes
+ * crossf1.txt: "thre TP TP_FP TP_FN proposals avg_iou_sum" per threshold.
+ * The reference's in-loop free_net use-after-free is not reproduced.
  */
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 #include "darknet.h"
+
+/* The reference's SPLIT preprocessing path (what validate_detector_f1 uses)
+ * carries two latent bugs vs the combined quantization_weights_and_activations
+ * path (src/blas.c:259-345), which is the path its uint8 GEMM was actually
+ * validated with:
+ *   1. quantization_weights_preprocess (blas.c:171-211) fills
+ *      zero_point_int16 but NEVER zero_point_uint8 — the per-weight
+ *      zero-point plane the uint8 kernels read stays calloc'd zero, so every
+ *      conv's zp correction is wrong and detections are spatial garbage.
+ *   2. quantization_activations_preprocess (blas.c:236-238) ACCUMULATES
+ *      weights_sum_int with += and then overwrites it with a transformed
+ *      value; on the second call (second image) the accumulation starts from
+ *      the transformed value, corrupting every image after the first.
+ * Both are patched here, harness-side, so the shim's f1 list mode computes
+ * what the reference's combined path computes — per-image input
+ * requantization included.  (The reference's own f1 runs presumably used the
+ * int16 MKL kernels, which read zero_point_int16 and predate bug 1.)
+ */
+static void patch_split_weight_zp(network *net) {
+    for (int i = 0; i < net->n; ++i) {
+        layer *l = &net->layers[i];
+        if (l->type != CONVOLUTIONAL || !l->layer_quant_flag) continue;
+        for (int j = 0; j < l->n; ++j)
+            for (int ji = 0; ji < l->c * l->size * l->size; ++ji)
+                l->zero_point_uint8[j * l->c * l->size * l->size + ji] =
+                    l->weight_data_uint8_zero_point[j];
+    }
+}
+
+static void reset_weights_sum(network *net) {
+    for (int i = 0; i < net->n; ++i) {
+        layer *l = &net->layers[i];
+        if (l->type != CONVOLUTIONAL || !l->layer_quant_flag) continue;
+        for (int j = 0; j < l->n; ++j) l->weights_sum_int[j] = 0;
+    }
+}
+
+static int run_f1_list(char *cfgfile, char *weightfile, char *listfile,
+                       char *outdir) {
+    network *net = load_network(cfgfile, weightfile, 0);
+    set_batch_network(net, 1);
+    printf("\nQuantinization ...\n");
+    quantization_weights_preprocess(net);
+    patch_split_weight_zp(net);
+    printf("Quantinization Complete...\n\n");
+
+    list *plist = get_paths(listfile);
+    char **paths = (char **)list_to_array(plist);
+    int m = plist->size;
+
+    char outpath[4096];
+    snprintf(outpath, sizeof(outpath), "%s/crossf1.txt", outdir);
+    FILE *fp = fopen(outpath, "w");
+    if (!fp) { fprintf(stderr, "cannot open %s\n", outpath); return 1; }
+
+    for (float thre = 0.1f; thre < 0.7f; thre = thre + 0.1f) {
+        float iou_thresh = .1f;
+        float nms = .1f;
+        int TP_FN = 0, TP_FP = 0, TP = 0, proposals = 0;
+        float avg_iou = 0;
+        for (int i = 0; i < m; ++i) {
+            char *path = paths[i];
+            image im = load_image_color(path, 0, 0);
+            image sized = letterbox_image(im, net->w, net->h);
+            float *X = sized.data;
+            reset_weights_sum(net);
+            quantization_activations_preprocess(net, X);
+            network_predict(net, X);
+            int nboxes = 0;
+            detection *dets = get_network_boxes(net, im.w, im.h, thre, 0.5f,
+                                                0, 1, &nboxes);
+            if (nms) do_nms_obj(dets, nboxes, 1, nms);
+
+            char labelpath[4096];
+            find_replace(path, "images", "labels", labelpath);
+            find_replace(labelpath, "JPEGImages", "labels", labelpath);
+            find_replace(labelpath, ".jpg", ".txt", labelpath);
+            find_replace(labelpath, ".JPEG", ".txt", labelpath);
+
+            int num_labels = 0;
+            box_label *truth = read_boxes(labelpath, &num_labels);
+            for (int k = 0; k < nboxes; ++k)
+                if (dets[k].objectness > thre) ++proposals;
+            for (int k = 0; k < nboxes; ++k) TP_FP++;
+            for (int j = 0; j < num_labels; ++j) {
+                ++TP_FN;
+                box t = {truth[j].x, truth[j].y, truth[j].w, truth[j].h};
+                float best_iou = 0;
+                for (int k = 0; k < nboxes; ++k) {
+                    float iou = box_iou(dets[k].bbox, t);
+                    if (dets[k].objectness > thre && iou > best_iou)
+                        best_iou = iou;
+                }
+                avg_iou += best_iou;
+                if (best_iou > iou_thresh) ++TP;
+            }
+            free(truth);
+            free_image(im);
+            free_image(sized);
+            free_detections(dets, nboxes);
+        }
+        fprintf(fp, "%.1f %d %d %d %d %.9g\n",
+                thre, TP, TP_FP, TP_FN, proposals, avg_iou);
+        fprintf(stderr, "thre %.1f: TP %d TP_FP %d TP_FN %d F1 %.2f\n",
+                thre, TP, TP_FP, TP_FN,
+                100.f * 2 * TP / (float)(TP_FP + TP_FN > 0 ? TP_FP + TP_FN : 1));
+    }
+    fclose(fp);
+    fprintf(stderr, "parity_shim: wrote %s\n", outpath);
+    return 0;
+}
 
 static void dump_bytes(const char *dir, const char *name, const void *p, size_t n) {
     char path[4096];
@@ -43,6 +166,10 @@ int main(int argc, char **argv) {
     char *cfgfile = argv[1], *weightfile = argv[2], *imgfile = argv[3], *outdir = argv[4];
     float thresh = argc > 5 ? atof(argv[5]) : 0.25f;
     const char *nms_mode = argc > 6 ? argv[6] : "none";
+
+    size_t ilen = strlen(imgfile);
+    if (ilen > 4 && !strcmp(imgfile + ilen - 4, ".txt"))
+        return run_f1_list(cfgfile, weightfile, imgfile, outdir);
 
     network *net = load_network(cfgfile, weightfile, 0);
     set_batch_network(net, 1);

@@ -143,7 +143,7 @@ def build_net(activation: str = "relu6", v3: bool = False, size: int = 416):
 def train(net, steps: int, batch: int, multiscale: bool, quant_start: int,
           slots: str = "tiny", base_size: int = 416,
           range_stat: str = "minmax", compute_dtype: str = "float32",
-          learned_ranges: bool = False):
+          learned_ranges: bool = False, lr: float = 1e-3):
     from yolo_quantization_tpu.train.qat import (
         TrainConfig,
         init_train_state,
@@ -151,7 +151,7 @@ def train(net, steps: int, batch: int, multiscale: bool, quant_start: int,
     )
 
     cfg = TrainConfig(
-        learning_rate=1e-3, burn_in=50, batch_size=batch,
+        learning_rate=lr, burn_in=50, batch_size=batch,
         quant_start_step=quant_start, max_batches=steps,
         range_stat=range_stat, compute_dtype=compute_dtype,
         learned_ranges=learned_ranges,
@@ -231,6 +231,13 @@ def main():
             range_stat = "percentile:" + a.split("=", 1)[1]
     learned = "--learned" in sys.argv
     float_baseline = "--float-baseline" in sys.argv
+    lr = 1e-3
+    tag = "r05"
+    for a in sys.argv[1:]:
+        if a.startswith("--lr="):
+            lr = float(a.split("=", 1)[1])
+        elif a.startswith("--tag="):
+            tag = a.split("=", 1)[1]
     compute_dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
     slots = "v3" if v3 else "tiny"
     n_eval = 200
@@ -257,7 +264,7 @@ def main():
     t0 = time.time()
     state = train(net, steps, batch, multiscale, quant_start, slots=slots,
                   base_size=size, range_stat=range_stat,
-                  compute_dtype=compute_dtype, learned_ranges=learned)
+                  compute_dtype=compute_dtype, learned_ranges=learned, lr=lr)
     train_s = time.time() - t0
 
     params = jax.tree.map(np.asarray, state.params)
@@ -280,7 +287,7 @@ def main():
                 "model": "yolov3" if v3 else "yolov3-tiny", "size": size,
                 "classes": CLASSES, "steps": steps, "batch": batch,
                 "activation": activation, "multiscale": multiscale,
-                "eval_images": n_eval,
+                "learning_rate": lr, "eval_images": n_eval,
             },
             "train_seconds": round(train_s, 1),
             "float": {
@@ -289,7 +296,8 @@ def main():
             },
             "device": str(jax.devices()[0]),
         }
-        name = f"FLOATBASE{'_V3' if v3 else ''}_r04.json"
+        lr_part = "" if lr == 1e-3 else f"_lr{lr:g}"
+        name = f"FLOATBASE{'_V3' if v3 else ''}_{tag}{lr_part}.json"
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), name
         )
@@ -378,7 +386,7 @@ def main():
     parts = ["ACCURACY"]
     if v3:
         parts.append("V3")
-    parts.append("r04")
+    parts.append(tag)
     if activation != "relu6":
         parts.append(activation)
     if range_stat != "minmax":

@@ -439,3 +439,88 @@ class TestEarlyTrainingHeuristics:
         )
         assert float(l_r0) == float(l_r0b)
         assert np.isfinite(float(l_r1))
+
+
+class TestR5TrainingOptions:
+    def test_relu6_folds_into_fake_quant_exactly(self):
+        """The QAT conv path folds relu6 into the fake-quant clamp; forward
+        AND gradients must equal the explicit fq(relu6(y)) composition
+        (nn/graph._conv_forward fold_bounds)."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_quantization_tpu.core.quant import fake_quant
+        from yolo_quantization_tpu.nn import layers as L
+        from yolo_quantization_tpu.nn.graph import (
+            ConvSpec,
+            ForwardMode,
+            _conv_forward,
+        )
+
+        rng = np.random.default_rng(5)
+        s = ConvSpec(filters=8, size=3, pad=1, activation="relu6",
+                     batch_normalize=False, quantized=True)
+        p = {
+            "w": jnp.asarray(rng.normal(0, 0.4, (3, 3, 4, 8)), jnp.float32),
+            "bias": jnp.asarray(rng.normal(0, 0.5, (8,)), jnp.float32),
+        }
+        x = jnp.asarray(rng.normal(0, 1.2, (2, 9, 9, 4)), jnp.float32)
+        # ranges with the relu6-stats invariant (0 <= lo, hi <= 6)
+        act_state = {"min": jnp.float32(0.0), "max": jnp.float32(4.7)}
+        mode = ForwardMode(train=True, qat=True, update_ranges=False)
+
+        def fused(p, x):
+            y, _, _ = _conv_forward(s, p, x, mode, act_state)
+            return y
+
+        def composed(p, x):
+            from yolo_quantization_tpu.core.quant import (
+                fake_quant_symmetric_per_channel,
+            )
+
+            wq = fake_quant_symmetric_per_channel(p["w"])
+            y = L.conv2d(x, wq, s.stride, s.pad) + p["bias"].reshape(1, 1, 1, -1)
+            y = L.activate(y, "relu6")
+            return fake_quant(y, act_state["min"], act_state["max"])
+
+        yf, yc = fused(p, x), composed(p, x)
+        np.testing.assert_array_equal(np.asarray(yf), np.asarray(yc))
+        gf = jax.grad(lambda p, x: jnp.sum(jnp.sin(fused(p, x))))(p, x)
+        gc = jax.grad(lambda p, x: jnp.sum(jnp.sin(composed(p, x))))(p, x)
+        for k in gf:
+            np.testing.assert_array_equal(np.asarray(gf[k]), np.asarray(gc[k]))
+
+    def test_freeze_ranges_after(self, tiny_net):
+        """cfg.freeze_ranges_after: ranges EMA-track for N QAT steps, then the
+        frozen step leaves quant_state bit-identical while params keep
+        moving."""
+        import jax
+
+        from yolo_quantization_tpu.train.loss import MAX_BOXES
+        from yolo_quantization_tpu.train.qat import TrainConfig, Trainer
+
+        cfg = TrainConfig(burn_in=0, quant_start_step=0,
+                          freeze_ranges_after=2, donate_state=False)
+        trainer = Trainer(tiny_net, cfg, key=jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        images = rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+        truths = np.zeros((2, MAX_BOXES, 5), np.float32)
+        truths[:, 0] = (0.5, 0.5, 0.4, 0.4, 1.0)
+
+        for _ in range(2):  # EMA phase
+            trainer.step(images, truths)
+        qs_at_freeze = jax.tree.map(np.asarray, trainer.state.quant_state)
+        params_at_freeze = jax.tree.map(np.asarray, trainer.state.params)
+        for _ in range(3):  # frozen phase
+            trainer.step(images, truths)
+        qs_after = jax.tree.map(np.asarray, trainer.state.quant_state)
+        for k in qs_at_freeze:
+            for n in qs_at_freeze[k]:
+                np.testing.assert_array_equal(qs_at_freeze[k][n], qs_after[k][n])
+        # params still train
+        moved = any(
+            not np.array_equal(params_at_freeze[i][k],
+                               np.asarray(trainer.state.params[i][k]))
+            for i in params_at_freeze for k in params_at_freeze[i]
+        )
+        assert moved

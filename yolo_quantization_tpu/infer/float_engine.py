@@ -113,3 +113,48 @@ class FloatEngine:
     def raw_heads(self, images: np.ndarray):
         heads = self._raw(self.params, jnp.asarray(images))
         return [np.asarray(h) for h in heads]
+
+
+class QatSimEngine:
+    """Fake-quant SIMULATION forward with the Engine predict() API.
+
+    Runs the exact graph QAT optimized (ForwardMode(train=False, qat=True)
+    with the trained quant ranges) — the faithfulness reference for the
+    integer engine: if Engine matches this, any gap to FloatEngine is the
+    quantization itself; if Engine diverges from this, the integer
+    implementation is wrong (scripts/accuracy_capstone.py protocol, made
+    reusable for the CI gates).
+    """
+
+    def __init__(self, net: NetworkDef, params, quant_state, max_det: int = 256):
+        self.net = net
+        self.max_det = max_det
+        self.params = jax.device_put(
+            {i: {k: np.asarray(v) for k, v in p.items()}
+             for i, p in params.items()}
+        )
+        qs = jax.device_put(
+            {k: {n: np.asarray(v) for n, v in st.items()}
+             for k, st in quant_state.items()}
+        )
+
+        @jax.jit
+        def _run(params, x):
+            heads, _ = forward(
+                net, params, x, ForwardMode(train=False, qat=True), qs
+            )
+            boxes, obj, cls = detect.decode_all_heads(heads, net)
+            return detect.top_k_detections(boxes, obj, cls, max_det)
+
+        self._run = _run
+
+    @property
+    def program(self):  # duck-type Engine for eval harnesses
+        class _P:
+            net = self.net
+
+        return _P()
+
+    def predict(self, images: np.ndarray):
+        boxes, obj, cls = self._run(self.params, jnp.asarray(images))
+        return np.asarray(boxes), np.asarray(obj), np.asarray(cls)

@@ -196,6 +196,12 @@ def parse_cfg(text: str, base_dir: str | None = None) -> tuple[NetworkDef, Train
                     num=int(opts.get("num", len(anchors) or 5)),
                     softmax=flag("softmax", 0),
                     tree=_load_tree(opts, base_dir),
+                    object_scale=float(opts.get("object_scale", 1)),
+                    noobject_scale=float(opts.get("noobject_scale", 1)),
+                    class_scale=float(opts.get("class_scale", 1)),
+                    coord_scale=float(opts.get("coord_scale", 1)),
+                    rescore=flag("rescore", 0),
+                    thresh=float(opts.get("thresh", 0.5)),
                 )
             )
         elif name == "detection":
@@ -210,6 +216,10 @@ def parse_cfg(text: str, base_dir: str | None = None) -> tuple[NetworkDef, Train
                     softmax=flag("softmax", 0),
                     forced=flag("forced", 0),
                     random=flag("random", 0),
+                    object_scale=float(opts.get("object_scale", 1)),
+                    noobject_scale=float(opts.get("noobject_scale", 1)),
+                    class_scale=float(opts.get("class_scale", 1)),
+                    coord_scale=float(opts.get("coord_scale", 1)),
                 )
             )
         elif name == "connected":

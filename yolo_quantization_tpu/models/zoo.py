@@ -268,7 +268,10 @@ def yolov1_tiny(
     s.append(ConnectedSpec(outputs=side * side * (num * 5 + classes),
                            activation="linear"))
     s.append(DetectionSpec(classes=classes, num=num, side=side, coords=4,
-                           sqrt=True, rescore=True))
+                           sqrt=True, rescore=True,
+                           # canonical tiny-yolo v1 cfg loss weights
+                           object_scale=1.0, noobject_scale=0.5,
+                           class_scale=1.0, coord_scale=5.0))
     return NetworkDef(tuple(s), width=width, height=height)
 
 

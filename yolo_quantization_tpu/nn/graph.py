@@ -204,6 +204,14 @@ class RegionSpec:
     softmax: bool = True
     tree: Any = None  # core.tree.HierarchyTree | None — WordTree classes
     # anchors are in feature-grid units (unlike YoloSpec's input pixels)
+    # loss term weights (src/parser.c parse_region; defaults here are the
+    # canonical yolov2-voc cfg values, which region_head_loss also defaults)
+    object_scale: float = 5.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    rescore: bool = True
+    thresh: float = 0.6
 
 
 @dataclass(frozen=True)
@@ -219,6 +227,13 @@ class DetectionSpec:
     softmax: bool = False  # softmax the class block (detection_layer.c:57-66)
     forced: bool = False   # predictor by truth size (detection_layer.c:136-142)
     random: bool = False   # random predictor while seen < 64000 (:143-145)
+    # loss term weights (src/parser.c parse_detection; the canonical v1 cfgs
+    # set 1 / 0.5 / 1 / 5 — without coord_scale 5 the responsible-box
+    # localization gradient is drowned by the S*S*N no-object conf terms)
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
 
 
 LayerSpec = Any  # union of the above
@@ -567,7 +582,23 @@ def _conv_forward(
 
     y = L.conv2d(x, w_used, s.stride, s.pad, mode.compute_dtype)
     y = y + bias.reshape(1, 1, 1, -1)
-    y = L.activate(y, s.activation)
+
+    # clamp-family activations FOLD INTO the fake-quant clamp, exactly:
+    # relu6's nudged EMA range satisfies 0 <= lo, hi <= 6 (stats are taken
+    # over activated outputs), so fq(relu6(y)) == fq(y) value- AND
+    # gradient-wise (the STE gate reproduces the activation's dead zones);
+    # likewise relu with (0, inf).  Batch range stats commute too: min/max
+    # and percentiles of clip(y) equal clip of the raw statistics (quantiles
+    # commute with monotone maps).  Saves one full-tensor elementwise pass
+    # (fwd + the select in bwd) per quantized conv (TRAINBENCH r5).
+    _FOLDABLE = {"relu6": (0.0, 6.0), "relu": (0.0, jnp.inf)}
+    fold_bounds = (
+        _FOLDABLE.get(s.activation)
+        if quantizing and act_state is not None
+        else None
+    )
+    if fold_bounds is None:
+        y = L.activate(y, s.activation)
 
     new_state = act_state
     if quantizing and act_state is not None:
@@ -579,8 +610,18 @@ def _conv_forward(
             # leaky 416 capstone's float F1 collapsed 92->60 when heads were
             # percentile-clipped, docs/perf.md r4)
             stat = "minmax" if s.quant_stop else mode.range_stat
-            lo, hi = ema_update(lo, hi, *_batch_range(y, stat))
+            blo, bhi = _batch_range(y, stat)
+            if fold_bounds is not None:
+                blo = jnp.clip(blo, *fold_bounds)
+                bhi = jnp.clip(bhi, *fold_bounds)
+            lo, hi = ema_update(lo, hi, blo, bhi)
             new_state = {"min": lo, "max": hi}
+        if fold_bounds is not None:
+            # defensive scalar clips: identity for any range produced by this
+            # trainer (the stats invariant above); restores exactness if a
+            # loaded state ever carries an out-of-activation-bound range
+            lo = jnp.clip(lo, *fold_bounds)
+            hi = jnp.clip(hi, *fold_bounds)
         y = _act_fq(mode)(y, lo, hi)
     return y, bn_stats, new_state
 

@@ -456,13 +456,25 @@ def total_loss(heads, truths, net, input_hw: tuple[int, int] | None = None,
             )
         elif isinstance(s, RegionSpec):
             l, st = region_head_loss(
-                raw, truths, s.anchors, s.classes, tree=s.tree, seen=seen
+                raw, truths, s.anchors, s.classes,
+                ignore_thresh=getattr(s, "thresh", 0.6),
+                object_scale=getattr(s, "object_scale", 5.0),
+                noobject_scale=getattr(s, "noobject_scale", 1.0),
+                class_scale=getattr(s, "class_scale", 1.0),
+                coord_scale=getattr(s, "coord_scale", 1.0),
+                rescore=getattr(s, "rescore", True),
+                tree=s.tree, seen=seen,
             )
         else:
             grid = encode_detection_truth(truths, s.side, s.classes)
             l, st = detection_head_loss(
                 raw, grid, s.classes, s.num, s.side, sqrt=s.sqrt,
-                rescore=s.rescore, forced=getattr(s, "forced", False),
+                rescore=s.rescore,
+                object_scale=getattr(s, "object_scale", 1.0),
+                noobject_scale=getattr(s, "noobject_scale", 1.0),
+                class_scale=getattr(s, "class_scale", 1.0),
+                coord_scale=getattr(s, "coord_scale", 1.0),
+                forced=getattr(s, "forced", False),
                 random=getattr(s, "random", False), seen=seen,
             )
         loss = loss + l

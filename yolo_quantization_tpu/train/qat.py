@@ -82,6 +82,14 @@ class TrainConfig:
     # halves peak param+optimizer memory).  See make_train_step's donation
     # contract; set False when callers must keep the pre-step state alive.
     donate_state: bool = True
+    # freeze EMA activation ranges N QAT steps after quant_start: the min/max
+    # reductions and EMA updates drop out of the step entirely (they were
+    # 10.4% of the r4 trace together with BN stats).  DEVIATION from the
+    # reference, which EMA-tracks until the end of training
+    # (src/blas.c:38-42) — opt-in; ranges barely move after warmup in
+    # practice (the learned_ranges study r4 measured EMA drift ~1e-3/step
+    # post-warmup).  None = reference behavior.
+    freeze_ranges_after: int | None = None
 
 
 class TrainState(NamedTuple):
@@ -228,19 +236,21 @@ def init_train_state(net: NetworkDef, cfg: TrainConfig, key) -> TrainState:
 
 
 def make_train_step(net: NetworkDef, cfg: TrainConfig, qat: bool,
-                    learned_ranges: bool = False):
+                    learned_ranges: bool = False, freeze_ranges: bool = False):
     """Build the jitted step for one phase (float warmup / EMA-QAT /
-    learned-range QAT).
+    learned-range QAT / frozen-range QAT).
 
     Returns step(state, images, truths) -> (state, metrics).  Non-trainable
     state (BN rolling stats via bn_stats aux, EMA quant ranges) is threaded
     functionally; masked out of the gradient.  With ``learned_ranges`` the
     quant ranges ARE differentiated (fake_quant_learned) and move by
-    sign-SGD each step instead of EMA tracking.
+    sign-SGD each step instead of EMA tracking.  With ``freeze_ranges`` the
+    EMA tracking is compiled OUT (cfg.freeze_ranges_after phase).
     """
     tx = make_optimizer(cfg)
     mode = ForwardMode(
-        train=True, qat=qat, update_ranges=qat and not learned_ranges,
+        train=True, qat=qat,
+        update_ranges=qat and not learned_ranges and not freeze_ranges,
         compute_dtype=cfg.compute_dtype, range_stat=cfg.range_stat,
         learned_ranges=learned_ranges,
     )
@@ -337,6 +347,7 @@ class Trainer:
         self._float_step = make_train_step(net, cfg, qat=False)
         self._qat_step = make_train_step(net, cfg, qat=True)
         self._learned_step = None  # built lazily (extra compile)
+        self._frozen_step = None   # built lazily (freeze_ranges_after phase)
 
     def step(self, images, truths):
         step_i = int(self.state.step)
@@ -352,6 +363,16 @@ class Trainer:
                     self.net, self.cfg, qat=True, learned_ranges=True
                 )
             fn = self._learned_step
+        elif (
+            self.cfg.freeze_ranges_after is not None
+            and step_i >= self.cfg.quant_start_step + self.cfg.freeze_ranges_after
+        ):
+            # frozen-range phase: EMA tracking compiled out of the step
+            if self._frozen_step is None:
+                self._frozen_step = make_train_step(
+                    self.net, self.cfg, qat=True, freeze_ranges=True
+                )
+            fn = self._frozen_step
         else:
             fn = self._qat_step
         self.state, metrics = fn(self.state, images, truths)
