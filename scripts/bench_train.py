@@ -50,7 +50,8 @@ def _synthetic_batch(key, batch: int, size: int, classes: int = 5, max_boxes: in
 
 
 def bench_chip(batch: int, steps: int, size: int = 416,
-               compute_dtype: str = "float32", qat: bool = True):
+               compute_dtype: str = "float32", qat: bool = True,
+               freeze_ranges: bool = False):
     from yolo_quantization_tpu.models.presets import flagship_network
     from yolo_quantization_tpu.train.qat import (
         TrainConfig,
@@ -61,7 +62,7 @@ def bench_chip(batch: int, steps: int, size: int = 416,
     net = flagship_network()
     cfg = TrainConfig(batch_size=batch, compute_dtype=compute_dtype)
     state = init_train_state(net, cfg, jax.random.PRNGKey(0))
-    step = make_train_step(net, cfg, qat=qat)
+    step = make_train_step(net, cfg, qat=qat, freeze_ranges=freeze_ranges)
     images, truths = jax.jit(
         lambda k: _synthetic_batch(k, batch, size)
     )(jax.random.PRNGKey(1))
@@ -77,7 +78,8 @@ def bench_chip(batch: int, steps: int, size: int = 416,
     loss = float(metrics["loss"])  # forces the chain
     dt = time.perf_counter() - t0
     out = {
-        "metric": "qat_train_step" if qat else "float_train_step",
+        "metric": ("qat_train_step_frozen_ranges" if freeze_ranges
+                   else "qat_train_step") if qat else "float_train_step",
         "size": size,
         "batch": batch,
         "compute_dtype": compute_dtype,
@@ -150,7 +152,7 @@ def bench_scaling(size: int = 160, per_device_batch: int = 8, iters: int = 8):
     return out
 
 
-def bench_trace(batch: int = 64, size: int = 416, qat: bool = True):
+def bench_trace(batch: int = 64, size: int = 416, qat: bool = True, freeze_ranges: bool = False):
     """Device trace of the train step: where the step time goes (VERDICT r3
     item 3 — 'training got one throughput number and no profile').  Prints
     the per-fusion table like scripts/profile_engine.py does for inference.
@@ -167,7 +169,7 @@ def bench_trace(batch: int = 64, size: int = 416, qat: bool = True):
     net = flagship_network()
     cfg = TrainConfig(batch_size=batch)
     state = init_train_state(net, cfg, jax.random.PRNGKey(0))
-    step = make_train_step(net, cfg, qat=qat)
+    step = make_train_step(net, cfg, qat=qat, freeze_ranges=freeze_ranges)
     images, truths = jax.jit(
         lambda k: _synthetic_batch(k, batch, size)
     )(jax.random.PRNGKey(1))
@@ -301,6 +303,7 @@ if __name__ == "__main__":
             batch, steps,
             compute_dtype="bfloat16" if "--bf16" in sys.argv else "float32",
             qat="--float" not in sys.argv,
+            freeze_ranges="--freeze" in sys.argv,
         )
     elif mode == "scaling":
         # force the virtual CPU mesh regardless of the image's pinned TPU
@@ -315,7 +318,8 @@ if __name__ == "__main__":
         bench_scaling()
     elif mode == "trace":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-        bench_trace(batch, qat="--float" not in sys.argv)
+        bench_trace(batch, qat="--float" not in sys.argv,
+                    freeze_ranges="--freeze" in sys.argv)
     elif mode == "dissect":
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:

@@ -331,6 +331,13 @@ def main() -> int:
               for k, st in state.quant_state.items()}
         save_darknet_weights(weights_path, net, params, qs,
                              seen=int(state.seen))
+        with open(os.path.join(args.workdir, "train_meta.json"), "w") as f:
+            json.dump({"steps": args.steps, "batch": args.batch,
+                       "device": args.device,
+                       "train_size": ("multiscale 320/416/512"
+                                      if args.device == "tpu"
+                                      else args.train_size),
+                       "quant_start_step": args.steps * 2 // 5}, f)
         print(f"exported {weights_path} "
               f"(param fetch+write {time.time() - t0:.0f}s)", flush=True)
         if args.phase == "train":
@@ -368,6 +375,12 @@ def main() -> int:
         for tr, cr in zip(t_rows, c_rows)
     )
 
+    meta_path = os.path.join(args.workdir, "train_meta.json")
+    if os.path.exists(meta_path):
+        train_meta = json.load(open(meta_path))
+    else:  # pre-r5 workdirs: fall back to this invocation's args
+        train_meta = {"steps": args.steps, "batch": args.batch,
+                      "device": args.device}
     cb, eb, pb, qb = best(c_rows), best(e_rows), best(p_rows), best(q_rows)
     out = {
         "protocol": "reference validate_detector_f1 (examples/detector.c:760-876) "
@@ -376,11 +389,7 @@ def main() -> int:
                     "integer engine over the same lossless images",
         "cfg": "yolov3_tiny_quant_channelwise.cfg (anchors -> standard tiny; "
                "relu6, 5 classes, 416x416 eval)",
-        "train": {"steps": args.steps, "batch": args.batch,
-                  "device": args.device,
-                  "train_size": ("multiscale 320/416/512"
-                                 if args.device == "tpu" else args.train_size),
-                  "quant_start_step": args.steps * 2 // 5},
+        "train": train_meta,
         "eval_images": args.n_eval,
         "c_binary": {"rows": c_rows, "best": cb},
         "engine_parity_mode": {"rows": e_rows, "best": eb},
