@@ -78,3 +78,15 @@ class TestPipeline:
         main(["train", *MODEL, "--train-list", str(workspace / "list.txt"),
               "--backup-dir", str(workspace / "b2"), "--batch-size", "1",
               "--max-batches", "1", "--workers", "1", "--multiscale"])
+
+
+class TestFreezeRangesCli:
+    def test_train_freeze_ranges(self, workspace, capsys):
+        """--freeze-ranges-after trains through all three phases (float ->
+        EMA-QAT -> frozen-QAT) via the CLI."""
+        main(["train", *MODEL, "--train-list", str(workspace / "list.txt"),
+              "--backup-dir", str(workspace / "backup_frz"),
+              "--batch-size", "2", "--max-batches", "5", "--workers", "2",
+              "--quant-start", "1", "--freeze-ranges-after", "2"])
+        out = capsys.readouterr().out
+        assert "5: loss" in out

@@ -108,6 +108,10 @@ def cmd_train(args):
         tcfg = type(tcfg)(
             **{**tcfg.__dict__, "prune": True, "prune_threshold": args.prune_threshold}
         )
+    if getattr(args, "freeze_ranges_after", None) is not None:
+        tcfg = type(tcfg)(
+            **{**tcfg.__dict__, "freeze_ranges_after": args.freeze_ranges_after}
+        )
 
     trainer = Trainer(net, tcfg)
     start = 0
@@ -614,6 +618,11 @@ def build_parser():
                     help="shard params+optimizer over the data axis "
                          "(ZeRO-3 style placement, parallel/fsdp.py); "
                          "prints the sharded-bytes report at startup")
+    sp.add_argument("--freeze-ranges-after", type=int, default=None,
+                    help="freeze EMA activation ranges N QAT steps after "
+                         "quant_start (compiles the range tracking out of "
+                         "the step, ~6%% faster; deviation from the "
+                         "reference's always-on EMA — TRAINBENCH_r05)")
     sp.add_argument("--prune", action="store_true",
                     help="magnitude pruning each update (reference PRUNE build flag)")
     sp.add_argument("--prune-threshold", type=float, default=0.001)
