@@ -19,10 +19,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: int | None = None, n_model: int = 1) -> Mesh:
+def device_pool(n_needed: int = 1) -> np.ndarray:
+    """Devices to build meshes from: the default platform, falling back to
+    the (possibly virtual, ``--xla_force_host_platform_device_count``) CPU
+    devices when the default platform has fewer than ``n_needed``.
+
+    This is what lets multi-chip code paths run their dryruns/tests on a
+    host with a single real accelerator attached."""
     devices = np.asarray(jax.devices())
+    if len(devices) < n_needed:
+        try:
+            cpu = np.asarray(jax.devices("cpu"))
+        except RuntimeError:
+            cpu = devices
+        if len(cpu) >= n_needed:
+            devices = cpu
+    return devices
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1) -> Mesh:
+    devices = device_pool(n_model if n_data is None else n_data * n_model)
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or len(devices) < n_data * n_model:
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs "
+            f"{max(n_data, 1) * n_model} devices; have {len(devices)}"
+        )
     devices = devices[: n_data * n_model].reshape(n_data, n_model)
     return Mesh(devices, axis_names=("data", "model"))
 

@@ -79,11 +79,13 @@ def run_tp(program, x, n_model: int | None = None):
     these shardings instead.
     """
     from yolo_quantization_tpu.infer.engine import build_forward
-    from yolo_quantization_tpu.parallel.mesh import make_mesh
+    from yolo_quantization_tpu.parallel.mesh import device_pool, make_mesh
 
-    n_devices = len(jax.devices())
+    # the pool (not bare jax.devices()) so a 1-accelerator host still runs
+    # the TP path on its virtual CPU devices instead of building a 0-row mesh
+    n_devices = len(device_pool(n_model or 1))
     n_model = n_model or n_devices
-    mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
+    mesh = make_mesh(n_data=max(n_devices // n_model, 1), n_model=n_model)
     fwd = build_forward(program)
     with mesh:
         arrays = shard_arrays_tp(program.arrays, mesh)
@@ -104,9 +106,9 @@ def make_tp_engine(program, n_model: int | None = None,
     """
     from yolo_quantization_tpu.eval import detect
     from yolo_quantization_tpu.infer.engine import build_forward
-    from yolo_quantization_tpu.parallel.mesh import make_mesh
+    from yolo_quantization_tpu.parallel.mesh import device_pool, make_mesh
 
-    n_devices = len(jax.devices())
+    n_devices = len(device_pool(n_model or 1))
     n_model = n_model or n_devices
     n_data = n_data or max(n_devices // n_model, 1)
     mesh = make_mesh(n_data=n_data, n_model=n_model)
